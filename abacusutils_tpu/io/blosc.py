@@ -51,7 +51,20 @@ _FMT_ZLIB = 3
 _FMT_ZSTD = 4
 
 _MAX_TYPESIZE = 255
-_zstd_d = zstandard.ZstdDecompressor()
+
+# ZstdDecompressor contexts are not thread-safe; keep one per thread
+_tls = __import__('threading').local()
+
+
+class _ZstdProxy:
+    def decompress(self, *args, **kwargs):
+        d = getattr(_tls, 'zd', None)
+        if d is None:
+            d = _tls.zd = zstandard.ZstdDecompressor()
+        return d.decompress(*args, **kwargs)
+
+
+_zstd_d = _ZstdProxy()
 
 
 def _unshuffle(buf: np.ndarray, typesize: int) -> np.ndarray:

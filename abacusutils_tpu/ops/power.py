@@ -1,0 +1,609 @@
+r"""Power spectra P(k,mu) / P_ell(k) and correlation functions from grids.
+
+TPU-native rebuild of the reference power-spectrum engine
+(/root/reference/abacusnbody/analysis/power_spectrum.py): painting runs as a
+device scatter (ops.grid), FFTs are XLA batched transforms, and the
+mode-binning "hot loop" (reference bin_kmu:150-300, a Numba thread-parallel
+triple loop) becomes a one-shot jitted program: mode k^2/mu^2 are built from
+integer grid coordinates on the fly, bins are found with searchsorted, and
+the (k,mu)/pole histograms accumulate via segment-sums (deterministic,
+collective-friendly). Conventions (k=0 plane counted once, kz>0 doubled,
+right-closed bin edges, Nyquist exclusion at the top edge) match the
+reference/nbodykit to test tolerance.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.table import Table
+from .grid import paint_3d
+
+__all__ = [
+    'calc_power',
+    'calc_pk_from_deltak',
+    'pk_to_xi',
+    'project_3d_to_poles',
+    'get_k_mu_edges',
+    'get_field',
+    'get_field_fft',
+    'get_W_compensated',
+    'get_raw_power',
+    'normalize_field',
+    'get_smoothing',
+    'get_delta_mu2',
+    'expand_poles_to_3d',
+    'bin_kmu',
+    'bin_kppi',
+]
+
+
+# ---------------------------------------------------------------------------
+# Legendre polynomials in mu^2 (same monomial form as reference P_n :121-147)
+# ---------------------------------------------------------------------------
+
+
+def _legendre_coeffs(n):
+    """[(coef, half_power)] such that P_n(mu) = sum coef * (mu^2)^(half_power/2)
+    with half_power = n - 2k."""
+    out = []
+    for k in range(n // 2 + 1):
+        c = (
+            math.comb(n, k)
+            * math.comb(2 * n - 2 * k, n)
+            * (0.5**n)
+            * (-1 if k % 2 else 1)
+        )
+        out.append((c, n - 2 * k))
+    return out
+
+
+def _P_n(mu2, n):
+    """Legendre P_n evaluated at mu = sqrt(mu2), vectorized (jax)."""
+    tot = jnp.zeros_like(mu2)
+    for c, p in _legendre_coeffs(n):
+        if p == 0:
+            tot = tot + jnp.float32(c)
+        elif p % 2 == 0:
+            tot = tot + jnp.float32(c) * mu2 ** (p // 2)
+        else:
+            tot = tot + jnp.float32(c) * mu2 ** jnp.float32(0.5 * p)
+    return tot
+
+
+# ---------------------------------------------------------------------------
+# Mode geometry for the rfft layout
+# ---------------------------------------------------------------------------
+
+
+def _mode_geometry(n1d):
+    """Integer |k|^2 and mu^2 for a (n1d, n1d, n1d//2+1) rfft mesh (f32)."""
+    kzlen = n1d // 2 + 1
+    i = jnp.arange(n1d)
+    i2 = jnp.where(i < n1d // 2, i, i - n1d).astype(jnp.int32) ** 2
+    kz = jnp.arange(kzlen, dtype=jnp.int32)
+    kmag2_int = i2[:, None, None] + i2[None, :, None] + (kz**2)[None, None, :]
+    kmag2 = kmag2_int.astype(jnp.float32)
+    kz2 = (kz**2).astype(jnp.float32)
+    mu2 = jnp.where(kmag2_int > 0, kz2[None, None, :] / kmag2, 0.0)
+    dup = jnp.where(kz == 0, 1, 2)[None, None, :].astype(jnp.float32)
+    return kmag2, mu2, dup
+
+
+@partial(jax.jit, static_argnames=('n1d', 'Nk', 'Nmu', 'poles'))
+def _bin_kmu_sums(weights, kedges2, muedges2, n1d, Nk, Nmu, poles):
+    """Segment-sum accumulation of (k,mu) wedge and pole histograms.
+
+    Returns dict of flat sums; division by counts happens on the host.
+    """
+    kzlen = n1d // 2 + 1
+    kmag2, mu2, dup = _mode_geometry(n1d)
+    w = weights[:, :, :kzlen].astype(jnp.float32)
+
+    kflat = kmag2.reshape(-1)
+    muflat = mu2.reshape(-1)
+    dupflat = jnp.broadcast_to(dup, kmag2.shape).reshape(-1)
+    wflat = w.reshape(-1) * dupflat
+
+    valid = (kflat >= kedges2[0]) & (kflat < kedges2[-1])
+    bk = jnp.clip(jnp.searchsorted(kedges2, kflat, side='left') - 1, 0, Nk - 1)
+    bmu = jnp.clip(jnp.searchsorted(muedges2, muflat, side='left') - 1, 0, Nmu - 1)
+
+    seg = jnp.where(valid, bk * Nmu + bmu, Nk * Nmu)
+    nseg = Nk * Nmu + 1
+
+    counts = jax.ops.segment_sum(
+        jnp.where(valid, dupflat, 0.0), seg, num_segments=nseg
+    )[:-1]
+    wsum = jax.ops.segment_sum(jnp.where(valid, wflat, 0.0), seg, num_segments=nseg)[
+        :-1
+    ]
+    ksum = jax.ops.segment_sum(
+        jnp.where(valid, jnp.sqrt(kflat) * dupflat, 0.0), seg, num_segments=nseg
+    )[:-1]
+
+    pole_sums = []
+    for pole in poles:
+        if pole == 0:
+            pole_sums.append(jnp.zeros(Nk, jnp.float32))  # filled on host
+            continue
+        pw = jnp.float32(2 * pole + 1) * _P_n(muflat, pole)
+        segk = jnp.where(valid, bk, Nk)
+        pole_sums.append(
+            jax.ops.segment_sum(
+                jnp.where(valid, wflat * pw, 0.0), segk, num_segments=Nk + 1
+            )[:-1]
+        )
+    pole_sums = (
+        jnp.stack(pole_sums) if poles else jnp.zeros((0, Nk), jnp.float32)
+    )
+
+    return counts, wsum, ksum, pole_sums
+
+
+def bin_kmu(
+    n1d,
+    L,
+    kedges,
+    muedges,
+    weights,
+    poles=np.empty(0, 'i8'),
+    dtype=np.float32,
+    fourier=True,
+    nthread=None,
+):
+    """Mean and mode counts in (k,mu) bins for an rfft mesh (fourier=True) or
+    a real mesh (fourier=False; separation binning for xi(r)).
+
+    Same return contract as the reference bin_kmu (power_spectrum.py:150-300):
+    (weighted_counts, counts, weighted_counts_poles, counts_poles,
+    weighted_counts_k).
+    """
+    kedges = np.asarray(kedges)
+    muedges = np.asarray(muedges)
+    Nk = len(kedges) - 1
+    Nmu = len(muedges) - 1
+    dk = 2.0 * np.pi / L if fourier else L / n1d
+    kedges2 = ((kedges / dk) ** 2).astype(dtype)
+    muedges2 = (muedges**2).astype(dtype)
+    poles = tuple(int(p) for p in np.asarray(poles))
+
+    counts_f, wsum, ksum, pole_sums = _bin_kmu_sums(
+        jnp.asarray(weights),
+        jnp.asarray(kedges2),
+        jnp.asarray(muedges2),
+        int(n1d),
+        Nk,
+        Nmu,
+        poles,
+    )
+    counts = np.asarray(counts_f, dtype=np.int64).reshape(Nk, Nmu)
+    wsum = np.asarray(wsum).reshape(Nk, Nmu)
+    ksum = np.asarray(ksum).reshape(Nk, Nmu) * dk
+    pole_sums = np.asarray(pole_sums)
+
+    counts_poles = counts.sum(axis=1)
+    weighted_counts_poles = pole_sums.copy()
+    for ip, pole in enumerate(poles):
+        if pole == 0:
+            weighted_counts_poles[ip] = wsum.sum(axis=1)
+
+    with np.errstate(invalid='ignore', divide='ignore'):
+        weighted_counts = np.where(counts != 0, wsum / counts, 0.0).astype(dtype)
+        weighted_counts_k = np.where(counts != 0, ksum / counts, 0.0).astype(dtype)
+        if len(poles):
+            weighted_counts_poles = np.where(
+                counts_poles[None, :] != 0,
+                weighted_counts_poles / counts_poles[None, :],
+                0.0,
+            ).astype(dtype)
+
+    return (
+        weighted_counts,
+        counts,
+        weighted_counts_poles,
+        counts_poles,
+        weighted_counts_k,
+    )
+
+
+@partial(jax.jit, static_argnames=('n1d', 'Nk', 'Npi'))
+def _bin_kppi_sums(weights, kedges2, piedges2, n1d, Nk, Npi):
+    kzlen = n1d // 2 + 1
+    i = jnp.arange(n1d)
+    i2 = jnp.where(i < n1d // 2, i, i - n1d).astype(jnp.int32) ** 2
+    kp2 = (i2[:, None] + i2[None, :]).astype(jnp.float32)  # (n1d, n1d)
+    kz2 = (jnp.arange(kzlen, dtype=jnp.int32) ** 2).astype(jnp.float32)
+
+    validk = (kp2 >= kedges2[0]) & (kp2 < kedges2[-1])
+    bk = jnp.clip(jnp.searchsorted(kedges2, kp2.reshape(-1), side='left') - 1, 0, Nk - 1)
+    validz = kz2 < piedges2[-1]
+    bpi = jnp.clip(
+        jnp.searchsorted(piedges2, kz2, side='left') - 1, 0, Npi - 1
+    )
+    dup = jnp.where(jnp.arange(kzlen) == 0, 1.0, 2.0)
+
+    valid = validk.reshape(-1)[:, None] & validz[None, :]
+    seg = jnp.where(valid, bk[:, None] * Npi + bpi[None, :], Nk * Npi)
+    w = weights[:, :, :kzlen].astype(jnp.float32).reshape(-1, kzlen) * dup[None, :]
+    cnt = jnp.broadcast_to(dup[None, :], w.shape)
+    nseg = Nk * Npi + 1
+    counts = jax.ops.segment_sum(
+        jnp.where(valid, cnt, 0.0).reshape(-1), seg.reshape(-1), num_segments=nseg
+    )[:-1]
+    wsum = jax.ops.segment_sum(
+        jnp.where(valid, w, 0.0).reshape(-1), seg.reshape(-1), num_segments=nseg
+    )[:-1]
+    return counts, wsum
+
+
+def bin_kppi(n1d, L, kedges, pimax, Npi, weights, dtype=np.float32, fourier=True, nthread=None):
+    """Mean and counts in (k_perp, pi) bins (reference bin_kppi:303-412)."""
+    kedges = np.asarray(kedges)
+    Nk = len(kedges) - 1
+    dk = 2.0 * np.pi / L if fourier else L / n1d
+    kedges2 = ((kedges / dk) ** 2).astype(dtype)
+    piedges2 = ((np.linspace(0.0, pimax, Npi + 1) / dk) ** 2).astype(dtype)
+
+    counts_f, wsum = _bin_kppi_sums(
+        jnp.asarray(weights),
+        jnp.asarray(kedges2),
+        jnp.asarray(piedges2),
+        int(n1d),
+        Nk,
+        int(Npi),
+    )
+    counts = np.asarray(counts_f, dtype=np.int64).reshape(Nk, Npi)
+    wsum = np.asarray(wsum).reshape(Nk, Npi)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        weighted_counts = np.where(counts != 0, wsum / counts, 0.0).astype(dtype)
+    return weighted_counts, counts
+
+
+# ---------------------------------------------------------------------------
+# Field construction
+# ---------------------------------------------------------------------------
+
+
+def get_field(pos, Lbox, nmesh, paste, w=None, d=0.0, nthread=None, dtype=np.float32):
+    """Paint particles and normalize to overdensity (reference
+    get_field:808-857; normalization uses len(pos) as the total weight)."""
+    if w is not None:
+        assert len(pos) == len(w)
+    paste = paste.upper()
+    if paste == 'TSC':
+        field = paint_3d(pos, nmesh, Lbox, weights=w, offset=d, kind='tsc', wrap=True)
+    elif paste == 'CIC':
+        p = pos + d if d != 0.0 else pos
+        field = paint_3d(p, nmesh, Lbox, weights=w, kind='cic', wrap=False)
+    else:
+        raise ValueError(f'Unknown pasting method: {paste}')
+    norm = jnp.float32(field.size / len(pos))
+    return field * norm - jnp.float32(1.0)
+
+
+def normalize_field(field, tot_weight=None, inplace=False, nthread=None):
+    """overdens = field * (size / tot_weight) - 1."""
+    if tot_weight is None:
+        tot_weight = float(np.asarray(field).sum())
+    out = np.multiply(field, field.size / tot_weight, dtype=np.float32) - 1.0
+    if inplace and isinstance(field, np.ndarray):
+        field[:] = out
+        return field
+    return out
+
+
+@partial(jax.jit, static_argnames=('nmesh',))
+def _interlace_combine(field_fft, field_shift_fft, nmesh, Lbox, d):
+    """(F + F_shift * exp(i k.d/2)) * 0.5/N^3 (reference shift_field_fft:904-948)."""
+    dk = 2.0 * np.pi / Lbox
+    i = jnp.arange(nmesh)
+    kvec = jnp.where(i < nmesh // 2, i, i - nmesh).astype(jnp.float32) * jnp.float32(dk)
+    kz = (jnp.arange(nmesh // 2 + 1).astype(jnp.float32)) * jnp.float32(dk)
+    phase = (
+        kvec[:, None, None] + kvec[None, :, None] + kz[None, None, :]
+    ) * jnp.complex64(0.5j * d)
+    norm = jnp.float32(0.5 / nmesh**3)
+    return (field_fft + field_shift_fft * jnp.exp(phase)) * norm
+
+
+def get_interlaced_field_fft(pos, Lbox, nmesh, paste, w, nthread=None, verbose=False):
+    """Interlaced Fourier field (reference get_interlaced_field_fft:951-998)."""
+    d = Lbox / nmesh
+    field = get_field(pos, Lbox, nmesh, paste, w)
+    field_fft = jnp.fft.rfftn(field)
+    field_shift = get_field(pos, Lbox, nmesh, paste, w, d=0.5 * d)
+    field_shift_fft = jnp.fft.rfftn(field_shift)
+    return _interlace_combine(field_fft, field_shift_fft, int(nmesh), float(Lbox), float(d))
+
+
+def get_field_fft(
+    pos,
+    Lbox,
+    nmesh,
+    paste,
+    w,
+    W,
+    compensated,
+    interlaced,
+    nthread=None,
+    verbose=False,
+    dtype=np.float32,
+):
+    """Fourier overdensity field with optional compensation/interlacing
+    (reference get_field_fft:1001-1070)."""
+    if interlaced:
+        field_fft = get_interlaced_field_fft(pos, Lbox, nmesh, paste, w)
+    else:
+        field = get_field(pos, Lbox, nmesh, paste, w, dtype=dtype)
+        field_fft = jnp.fft.rfftn(field) * jnp.float32(1.0 / field.size)
+    if compensated:
+        assert W is not None
+        W = jnp.asarray(W)
+        field_fft = field_fft / (
+            W[:, None, None] * W[None, :, None] * W[None, None, : nmesh // 2 + 1]
+        )
+    return field_fft
+
+
+def get_W_compensated(Lbox, nmesh, paste, interlaced):
+    """TSC/CIC deconvolution kernel (reference get_W_compensated:1081-1128)."""
+    d = Lbox / nmesh
+    kN = np.pi / d
+    k = (np.fft.fftfreq(nmesh, d=d) * 2.0 * np.pi).astype(np.float32)
+
+    paste = paste.upper()
+    if interlaced:
+        if paste == 'TSC':
+            p = 3.0
+        elif paste == 'CIC':
+            p = 2.0
+        else:
+            raise ValueError(f'Unknown pasting method {paste}')
+        W = np.sinc(0.5 * k / kN) ** p
+    else:
+        s = np.sin(0.5 * np.pi * k / kN) ** 2
+        if paste == 'TSC':
+            W = (1 - s + 2.0 / 15 * s**2) ** 0.5
+        elif paste == 'CIC':
+            W = (1 - 2.0 / 3 * s) ** 0.5
+        else:
+            raise ValueError(f'Unknown pasting method {paste}')
+    return W
+
+
+def get_raw_power(field_fft, field2_fft=None):
+    """|delta_k|^2 or Re[conj(delta1) delta2] (reference get_raw_power:707-727)."""
+    if field2_fft is not None:
+        return (jnp.conj(field_fft) * field2_fft).real
+    return jnp.abs(field_fft) ** 2
+
+
+# ---------------------------------------------------------------------------
+# Public pipeline
+# ---------------------------------------------------------------------------
+
+
+def get_k_mu_edges(Lbox, k_max, kbins, mubins, logk):
+    """Bin edges for k and mu (reference get_k_mu_edges:663-704)."""
+    if isinstance(kbins, int):
+        if logk:
+            k_min = (1.0 - 1.0e-4) * 2.0 * np.pi / Lbox
+            kbins = np.geomspace(k_min, k_max, kbins + 1)
+        else:
+            kbins = np.linspace(0.0, k_max, kbins + 1)
+    if isinstance(mubins, int):
+        mubins = np.linspace(0.0, 1.0, mubins + 1)
+    return kbins, mubins
+
+
+def calc_pk_from_deltak(
+    field_fft,
+    Lbox,
+    k_bin_edges,
+    mu_bin_edges,
+    field2_fft=None,
+    poles=np.empty(0, 'i8'),
+    squeeze_mu_axis=True,
+    nthread=None,
+):
+    """P(k,mu) (+ multipoles) from Fourier field(s)
+    (reference calc_pk_from_deltak:730-805)."""
+    raw_p3d = get_raw_power(jnp.asarray(field_fft), None if field2_fft is None else jnp.asarray(field2_fft))
+    nmesh = raw_p3d.shape[0]
+    power, N_mode, binned_poles, N_mode_poles, k_avg = bin_kmu(
+        nmesh, Lbox, k_bin_edges, mu_bin_edges, raw_p3d, poles
+    )
+    power = power * Lbox**3
+    if len(poles) > 0:
+        binned_poles = binned_poles * Lbox**3
+
+    if squeeze_mu_axis and len(mu_bin_edges) == 2:
+        power = power[:, 0]
+        N_mode = N_mode[:, 0]
+        k_avg = k_avg[:, 0]
+
+    return dict(
+        power=power,
+        N_mode=N_mode,
+        binned_poles=binned_poles,
+        N_mode_poles=N_mode_poles,
+        k_avg=k_avg,
+    )
+
+
+def project_3d_to_poles(k_bin_edges, raw_p3d, Lbox, poles):
+    """3D power -> multipoles (reference project_3d_to_poles:415-447)."""
+    nmesh = np.asarray(raw_p3d).shape[0]
+    poles = np.asarray(poles)
+    muedges = np.array([0.0, 1.0])
+    _, _, binned_poles, Npoles, _ = bin_kmu(
+        nmesh, Lbox, k_bin_edges, muedges=muedges, weights=raw_p3d, poles=poles
+    )
+    binned_poles = binned_poles * Lbox**3
+    return binned_poles, Npoles
+
+
+def pk_to_xi(Pk, Lbox, r_bins, poles=(0, 2, 4)):
+    """3D P(k) -> xi_ell(r) via irfftn + real-space binning
+    (reference pk_to_xi:620-660)."""
+    Xi = jnp.fft.irfftn(jnp.asarray(Pk)).real
+    r_bins = np.asarray(r_bins)
+    r_binc = (r_bins[1:] + r_bins[:-1]) * 0.5
+    nmesh = Xi.shape[0]
+    poles = np.asarray(poles)
+    muedges = np.array([0.0, 1.0])
+    _, _, binned_poles, Npoles, _ = bin_kmu(
+        nmesh, Lbox, r_bins, muedges=muedges, weights=Xi, poles=poles, fourier=False
+    )
+    binned_poles = binned_poles * nmesh**3
+    return r_binc, binned_poles, Npoles
+
+
+@partial(jax.jit, static_argnames=('n1d',))
+def _smoothing_jit(n1d, dk2R2):
+    kmag2, _, _ = _mode_geometry(n1d)
+    return jnp.exp(-kmag2 * dk2R2 / 2.0)
+
+
+def get_smoothing(n1d, L, R, dtype=np.float32):
+    """Gaussian kernel exp(-k^2 R^2 / 2) on the rfft mesh
+    (reference get_smoothing:539-574)."""
+    dk = 2.0 * np.pi / L
+    return _smoothing_jit(int(n1d), jnp.float32(dk**2 * R**2))
+
+
+@partial(jax.jit, static_argnames=('n1d',))
+def get_delta_mu2_jit(delta, n1d):
+    _, mu2, _ = _mode_geometry(n1d)
+    return delta * mu2
+
+
+def get_delta_mu2(delta, n1d, dtype_c=np.complex64, dtype_f=np.float32):
+    """delta * mu^2 in Fourier space (reference get_delta_mu2:577-617)."""
+    return get_delta_mu2_jit(jnp.asarray(delta), int(n1d))
+
+
+def expand_poles_to_3d(k_ell, P_ell, n1d, L, poles, dtype=np.float32):
+    """Interpolate P_ell(k) onto the 3D rfft mesh with Legendre weights
+    (reference expand_poles_to_3d:450-505: equidistant-k linear interp with
+    edge clamping)."""
+    k_ell = np.asarray(k_ell, dtype=dtype)
+    P_ell = np.atleast_2d(np.asarray(P_ell, dtype=dtype))
+    assert abs((k_ell[1] - k_ell[0]) - (k_ell[-1] - k_ell[-2])) < 1.0e-6
+    poles = tuple(int(p) for p in np.asarray(poles))
+    return _expand_poles_jit(
+        jnp.asarray(k_ell), jnp.asarray(P_ell), int(n1d), jnp.float32(2 * np.pi / L), poles
+    )
+
+
+@partial(jax.jit, static_argnames=('n1d', 'poles'))
+def _expand_poles_jit(k_ell, P_ell, n1d, dk, poles):
+    kmag2, mu2, _ = _mode_geometry(n1d)
+    kmag = jnp.sqrt(kmag2) * dk
+    x0 = k_ell[0]
+    dx = k_ell[1] - k_ell[0]
+    f = jnp.clip((kmag - x0) / dx, 0.0, len(k_ell) - 1.000001)
+    fl = jnp.floor(f).astype(jnp.int32)
+    frac = f - fl.astype(jnp.float32)
+    Pk = jnp.zeros_like(kmag)
+    for ip, pole in enumerate(poles):
+        y = P_ell[ip]
+        interp = y[fl] + frac * (y[fl + 1] - y[fl])
+        # clamp to endpoint values outside the table
+        interp = jnp.where(kmag <= k_ell[0], y[0], interp)
+        interp = jnp.where(kmag >= k_ell[-1], y[-1], interp)
+        Pk = Pk + (interp if pole == 0 else interp * _P_n(mu2, pole))
+    return Pk
+
+
+def calc_power(
+    pos,
+    Lbox,
+    kbins=None,
+    mubins=None,
+    k_max=None,
+    logk=False,
+    paste='TSC',
+    nmesh=128,
+    compensated=True,
+    interlaced=True,
+    w=None,
+    pos2=None,
+    w2=None,
+    poles=None,
+    squeeze_mu_axis=True,
+    nthread=None,
+    dtype=np.float32,
+):
+    """Paint -> FFT -> bin pipeline; returns a Table with k_mid/k_avg/power/
+    N_mode (+poles) (same contract as reference calc_power:1131-1319)."""
+    if kbins is None:
+        kbins = nmesh
+    if k_max is None:
+        k_max = np.pi * nmesh / Lbox
+    return_mubins = mubins is not None
+    if mubins is None:
+        mubins = 1
+
+    meta = dict(
+        Lbox=Lbox,
+        logk=logk,
+        paste=paste,
+        nmesh=nmesh,
+        compensated=compensated,
+        interlaced=interlaced,
+        poles=poles,
+        N_pos=len(pos),
+        is_weighted=w is not None,
+        squeeze_mu_axis=squeeze_mu_axis,
+    )
+    if pos2 is not None:
+        meta['N_pos2'] = len(pos2)
+        meta['is_weighted2'] = w2 is not None
+
+    W = get_W_compensated(Lbox, nmesh, paste, interlaced) if compensated else None
+
+    field_fft = get_field_fft(pos, Lbox, nmesh, paste, w, W, compensated, interlaced, dtype=dtype)
+    field2_fft = None
+    if pos2 is not None:
+        field2_fft = get_field_fft(
+            pos2, Lbox, nmesh, paste, w2, W, compensated, interlaced, dtype=dtype
+        )
+
+    poles = np.asarray(poles if poles is not None else [], dtype=np.int64)
+    kbins, mubins = get_k_mu_edges(Lbox, k_max, kbins, mubins, logk)
+    P = calc_pk_from_deltak(
+        field_fft,
+        Lbox,
+        kbins,
+        mubins,
+        field2_fft=field2_fft,
+        poles=poles,
+        squeeze_mu_axis=squeeze_mu_axis,
+    )
+
+    k_binc = (kbins[1:] + kbins[:-1]) * 0.5
+    mu_binc = (mubins[1:] + mubins[:-1]) * 0.5
+
+    res = dict(
+        k_min=kbins[:-1],
+        k_max=kbins[1:],
+        k_mid=k_binc,
+        k_avg=P['k_avg'],
+        power=P['power'],
+        N_mode=P['N_mode'],
+    )
+    if len(poles) > 0:
+        res.update(poles=np.asarray(P['binned_poles']).T, N_mode_poles=P['N_mode_poles'])
+    if return_mubins:
+        res.update(
+            mu_min=np.broadcast_to(mubins[:-1], res['power'].shape).copy(),
+            mu_max=np.broadcast_to(mubins[1:], res['power'].shape).copy(),
+            mu_mid=np.broadcast_to(mu_binc, res['power'].shape).copy(),
+        )
+    res = {k: np.asarray(v) for k, v in res.items()}
+    return Table(res, meta=meta, copy=False)

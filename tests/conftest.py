@@ -5,12 +5,20 @@ import pytest
 
 # Multi-device sharding tests run on a virtual 8-device CPU mesh; the real-TPU
 # bench path is exercised by bench.py, not pytest.
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# The axon site hook pins JAX_PLATFORMS=axon at interpreter start (env vars
+# set afterwards are ignored); jax.config.update is the only override that
+# still works here. Without it every compile goes through the remote TPU
+# tunnel (minutes of latency per program).
 _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
         _flags + ' --xla_force_host_platform_device_count=8'
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
 
 # The reference test-fixture tree (Mini_N64_L32 sim, golden files). Read-only.
 TESTDATA = Path(os.environ.get('ABACUSUTILS_TPU_TESTDATA', '/root/reference/tests'))

