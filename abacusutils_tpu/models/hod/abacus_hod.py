@@ -1,0 +1,690 @@
+r"""AbacusHOD: multi-tracer HOD mock generation driven by the reference's
+YAML config schema (/root/reference/abacusnbody/hod/abacus_hod.py:41-1970).
+
+Staging loads h5 halo/particle subsamples into flat host arrays once; the
+population inner loop (`run_hod`) is a pure jitted device program over those
+arrays (see .population). Summary statistics dispatch to the device engines
+in abacusutils_tpu.ops (tpcf pair kernels, power spectra).
+"""
+
+import logging
+import time
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+from ...io.asdf_file import open_asdf
+from ...io.table import Table
+from ...ops.power import calc_power
+from ...ops.tpcf import calc_multipole_fast, calc_wp_fast, calc_xirppi_fast
+from . import shapes_np
+from .population import gen_gals
+
+PRIMARY_REDSHIFTS = [3.0, 2.5, 2.0, 1.7, 1.4, 1.1, 0.8, 0.5, 0.4, 0.3, 0.2, 0.1, 0.0]
+SECONDARY_REDSHIFTS = [
+    0.15, 0.25, 0.35, 0.45, 0.575, 0.65, 0.725, 0.875, 0.95, 1.025, 1.175,
+    1.25, 1.325, 1.475, 1.55, 1.625, 1.85, 2.25, 2.75, 3.0, 5.0, 8.0,
+]
+
+
+class AbacusHOD:
+    """A multi-tracer HOD mock generator for AbacusSummit simulations."""
+
+    def __init__(
+        self,
+        sim_params,
+        HOD_params,
+        clustering_params=None,
+        chunk=-1,
+        n_chunks=1,
+        skip_staging=False,
+    ):
+        self.logger = logging.getLogger('AbacusHOD')
+        self.sim_name = sim_params['sim_name']
+        self.sim_dir = sim_params['sim_dir']
+        self.subsample_dir = sim_params['subsample_dir']
+        self.z_mock = sim_params['z_mock']
+        self.output_dir = sim_params.get('output_dir', './')
+        self.halo_lc = sim_params.get('halo_lc', False)
+        self.force_mt = sim_params.get('force_mt', False)
+        self.local_env = sim_params.get('local_env', {})
+
+        if self.halo_lc:
+            ztype = 'lightcone'
+        elif self.z_mock in PRIMARY_REDSHIFTS:
+            ztype = 'primary'
+        elif self.z_mock in SECONDARY_REDSHIFTS:
+            ztype = 'secondary'
+        else:
+            raise Exception('illegal redshift')
+        self.z_type = ztype
+
+        tracer_flags = HOD_params['tracer_flags']
+        self.tracers = {
+            key: HOD_params[key + '_params']
+            for key in tracer_flags
+            if tracer_flags[key]
+        }
+
+        self.want_ranks = HOD_params.get('want_ranks', False)
+        self.want_AB = HOD_params.get('want_AB', False)
+        self.want_shear = HOD_params.get('want_shear', False)
+        self.want_expvel = HOD_params.get('want_expvel', False)
+        self.want_rsd = HOD_params['want_rsd']
+
+        if clustering_params is not None:
+            self.pimax = clustering_params.get('pimax', None)
+            self.pi_bin_size = clustering_params.get('pi_bin_size', None)
+            bin_params = clustering_params['bin_params']
+            self.rpbins = np.logspace(
+                bin_params['logmin'], bin_params['logmax'], bin_params['nbins'] + 1
+            )
+            self.clustering_type = clustering_params.get('clustering_type', None)
+
+        self.chunk = chunk
+        self.n_chunks = n_chunks
+        assert self.chunk < self.n_chunks, (
+            'Total number of chunks needs to be larger than current chunk index'
+        )
+
+        if not skip_staging:
+            self.halo_data, self.particle_data, self.params, self.mock_dir = (
+                self.staging()
+            )
+
+            hmass = self.halo_data['hmass']
+            self.logMbins = np.linspace(
+                np.log10(np.min(hmass)), np.log10(np.max(hmass)), 101
+            )
+            self.deltacbins = np.linspace(-0.5, 0.5, 101)
+            self.fenvbins = np.linspace(-0.5, 0.5, 101)
+            self.shearbins = np.linspace(-0.5, 0.5, 101)
+
+            zerosH = np.zeros(len(hmass))
+            self.halo_mass_func, _ = np.histogramdd(
+                np.vstack(
+                    (
+                        np.log10(hmass),
+                        self.halo_data.get('hdeltac', zerosH),
+                        self.halo_data.get('hfenv', zerosH),
+                    )
+                ).T,
+                bins=[self.logMbins, self.deltacbins, self.fenvbins],
+                weights=self.halo_data['hmultis'],
+            )
+            self.halo_mass_func_wshear, _ = np.histogramdd(
+                np.vstack(
+                    (
+                        np.log10(hmass),
+                        self.halo_data.get('hdeltac', zerosH),
+                        self.halo_data.get('hfenv', zerosH),
+                        self.halo_data.get('hshear', zerosH),
+                    )
+                ).T,
+                bins=[self.logMbins, self.deltacbins, self.fenvbins, self.shearbins],
+                weights=self.halo_data['hmultis'],
+            )
+        else:
+            from ...metadata import get_meta
+
+            meta = get_meta(self.sim_name, redshift=0.1)
+            self.lbox = meta['BoxSize']
+
+        if self.want_AB and not skip_staging:
+            assert 'hfenv' in self.halo_data
+            assert 'hdeltac' in self.halo_data
+        if self.want_shear and not skip_staging:
+            assert 'hshear' in self.halo_data
+
+    # ------------------------------------------------------------------
+    def _subsample_fns(self, subsample_dir, eslab):
+        """File name scheme of prepare_sim outputs (reference :318-341)."""
+        mt = (
+            ('ELG' in self.tracers) or ('QSO' in self.tracers) or self.force_mt
+        )
+        tag = '_MT' if mt else ''
+        halofn = subsample_dir / f'halos_xcom_{eslab}_seed600_abacushod_oldfenv{tag}'
+        partfn = subsample_dir / f'particles_xcom_{eslab}_seed600_abacushod_oldfenv{tag}'
+        if self.want_ranks:
+            partfn = Path(str(partfn) + '_withranks')
+        return Path(str(halofn) + '_new.h5'), Path(str(partfn) + '_new.h5')
+
+    def staging(self):
+        """Load halo+particle subsamples into flat arrays (reference
+        staging():253-704, incl. the global fenv re-ranking from env
+        sidecars)."""
+        output_dir = Path(self.output_dir)
+        simname = Path(self.sim_name)
+        sim_dir = Path(self.sim_dir)
+        mock_dir = output_dir / simname / ('z%4.3f' % self.z_mock)
+        subsample_dir = Path(self.subsample_dir) / simname / ('z%4.3f' % self.z_mock)
+
+        if not (sim_dir / simname).exists():
+            raise FileNotFoundError(
+                f'Simulation directory {sim_dir / simname} not found.'
+            )
+        if not subsample_dir.exists():
+            raise FileNotFoundError(f'Subsample directory {subsample_dir} not found.')
+
+        if self.halo_lc:
+            halo_info_fns = [
+                sim_dir / simname / ('z%4.3f' % self.z_mock) / 'lc_halo_info.asdf'
+            ]
+        else:
+            halo_info_fns = list(
+                (sim_dir / simname / 'halos' / ('z%4.3f' % self.z_mock) / 'halo_info').glob(
+                    '*.asdf'
+                )
+            )
+        with open_asdf(halo_info_fns[0], lazy_load=True) as f:
+            header = dict(f['header'])
+
+        params = {}
+        params['z'] = self.z_mock
+        params['h'] = header['H0'] / 100.0
+        params['Lbox'] = header['BoxSize']
+        params['Mpart'] = header['ParticleMassHMsun']
+        params['velz2kms'] = header['VelZSpace_to_kms'] / params['Lbox']
+        if self.halo_lc:
+            params['origin'] = np.array(header['LightConeOrigins']).reshape(-1, 3)[0]
+        else:
+            params['origin'] = None
+
+        n_chunks = self.n_chunks
+        params['chunk'] = self.chunk
+        chunk = 0 if self.chunk == -1 else self.chunk
+        n_jump = int(np.ceil(len(halo_info_fns) / n_chunks))
+        start = chunk * n_jump
+        end = min((chunk + 1) * n_jump, len(halo_info_fns))
+        params['numslabs'] = end - start
+        self.lbox = header['BoxSize']
+
+        load_parts = self.z_type in ('primary', 'lightcone')
+
+        halo_chunks = []
+        part_chunks = []
+        for eslab in range(start, end):
+            self.logger.info(f'Loading simulation slab {eslab}')
+            halofn, partfn = self._subsample_fns(subsample_dir, eslab)
+            with h5py.File(halofn, 'r') as f:
+                halo_chunks.append(f['halos'][:])
+            if load_parts:
+                with h5py.File(partfn, 'r') as f:
+                    part_chunks.append(f['particles'][:])
+
+        halos = np.concatenate(halo_chunks)
+        parts = (
+            np.concatenate(part_chunks)
+            if part_chunks
+            else np.empty(0, dtype=part_chunks[0].dtype if part_chunks else None)
+        )
+
+        hveldev_col = 'randoms_exp' if self.want_expvel else 'randoms_gaus_vrms'
+        hveldev = halos[hveldev_col]
+        if hveldev.ndim == 1:
+            self.logger.warning(
+                'galaxy x, y velocity bias randoms not set; using z randoms'
+            )
+            hveldev = np.stack([hveldev] * 3, axis=1)
+
+        halo_data = {
+            'hpos': np.asarray(halos['x_L2com'], np.float64),
+            'hvel': np.asarray(halos['v_L2com'], np.float64),
+            'hmass': halos['N'].astype(np.float64) * params['Mpart'],
+            'hid': halos['id'].astype(np.int64),
+            'hmultis': np.asarray(halos['multi_halos'], np.float64),
+            'hrandoms': np.asarray(halos['randoms'], np.float64),
+            'hveldev': np.asarray(hveldev, np.float64),
+            'hsigma3d': np.asarray(halos['sigmav3d_L2com'], np.float64),
+            'hc': np.asarray(
+                halos['r98_L2com'] / halos['r25_L2com'], np.float64
+            ),
+            'hrvir': np.asarray(halos['r98_L2com'], np.float64),
+        }
+        if self.want_AB:
+            halo_data['hdeltac'] = np.asarray(halos['deltac_rank'], np.float64)
+            halo_data['hfenv'] = np.asarray(halos['fenv_rank'], np.float64)
+        if self.want_shear:
+            halo_data['hshear'] = np.asarray(halos['shear_rank'], np.float64)
+
+        # sort halos by id (needed for the conformity particle->halo map)
+        hid = halo_data['hid']
+        if not np.all(hid[:-1] <= hid[1:]):
+            self.logger.info('Sorting halos for conformity calculation.')
+            order = np.argsort(hid)
+            for k in halo_data:
+                halo_data[k] = halo_data[k][order]
+        assert np.all(halo_data['hid'][:-1] <= halo_data['hid'][1:])
+
+        if load_parts:
+            phid = parts['halo_id'].astype(np.int64)
+            pNp = np.asarray(parts['Np'], np.float64)
+            psub = np.asarray(parts['downsample_halo'], np.float64)
+            particle_data = {
+                'ppos': np.asarray(parts['pos'], np.float64),
+                'pvel': np.asarray(parts['vel'], np.float64),
+                'phvel': np.asarray(parts['halo_vel'], np.float64),
+                'phmass': np.asarray(parts['halo_mass'], np.float64),
+                'phid': phid,
+                'pweights': 1 / pNp / psub,
+                'prandoms': np.asarray(parts['randoms'], np.float64),
+            }
+            if self.want_AB:
+                particle_data['pdeltac'] = np.asarray(parts['halo_deltac'], np.float64)
+                particle_data['pfenv'] = np.asarray(parts['halo_fenv'], np.float64)
+            if self.want_shear:
+                particle_data['pshear'] = np.asarray(parts['halo_shear'], np.float64)
+            Nparts_tot = len(phid)
+            names = parts.dtype.names
+            if self.want_ranks:
+                assert 'ranks' in names and 'ranksv' in names
+                particle_data['pranks'] = np.asarray(parts['ranks'], np.float64)
+                particle_data['pranksv'] = np.asarray(parts['ranksv'], np.float64)
+                for k, col in (('pranksp', 'ranksp'), ('pranksr', 'ranksr'), ('pranksc', 'ranksc')):
+                    particle_data[k] = (
+                        np.asarray(parts[col], np.float64)
+                        if col in names
+                        else np.zeros(Nparts_tot)
+                    )
+            else:
+                for k in ('pranks', 'pranksv', 'pranksp', 'pranksr', 'pranksc'):
+                    particle_data[k] = np.ones(Nparts_tot)
+
+            particle_data['pinds'] = np.searchsorted(halo_data['hid'], phid)
+        else:
+            particle_data = {
+                k: np.empty(0)
+                for k in (
+                    'ppos', 'pvel', 'phvel', 'phmass', 'pweights', 'prandoms',
+                    'pranks', 'pranksv', 'pranksp', 'pranksr', 'pranksc',
+                )
+            }
+            particle_data['phid'] = np.empty(0, np.int64)
+            particle_data['pinds'] = np.empty(0, np.int64)
+
+        # global fenv re-ranking from the Menv sidecars (reference :595-657)
+        if self.want_AB and not self.halo_lc:
+            mcut_env = self.local_env.get('mcut', 1e11)
+            nbins_env = self.local_env.get('nbins', 100)
+            self.logger.info(
+                f'Computing global hfenv (mcut={mcut_env}, nbins={nbins_env})'
+            )
+            numslabs_all = len(halo_info_fns)
+            env_id, env_mass, env_Menv = [], [], []
+            for eslab in range(numslabs_all):
+                envfn = subsample_dir / f'env_xcom_{eslab}_abacushod_localenv_new.h5'
+                if not envfn.exists():
+                    raise FileNotFoundError(f'Missing env sidecar: {envfn}')
+                with h5py.File(envfn, 'r') as fenv:
+                    env_id.append(fenv['id'][:].astype(np.int64))
+                    env_mass.append(fenv['mass'][:])
+                    env_Menv.append(fenv['Menv'][:])
+            env_id = np.concatenate(env_id)
+            env_mass = np.concatenate(env_mass)
+            env_Menv = np.concatenate(env_Menv)
+
+            mbins_env = np.logspace(np.log10(mcut_env), 15.5, nbins_env + 1)
+            hfenv_full = calc_fenv_rank(env_Menv, mbins_env, env_mass)
+
+            order = np.argsort(env_id)
+            env_id = env_id[order]
+            hfenv_full = hfenv_full[order]
+
+            hmatch = np.searchsorted(env_id, halo_data['hid'])
+            if not np.all(env_id[hmatch] == halo_data['hid']):
+                raise RuntimeError(
+                    'Failed to map global env sidecars onto staged halos by halo ID.'
+                )
+            halo_data['hfenv'] = hfenv_full[hmatch]
+            if load_parts:
+                pinds = particle_data['pinds']
+                if not np.all(halo_data['hid'][pinds] == particle_data['phid']):
+                    raise RuntimeError(
+                        'Particle-to-halo mapping pinds is inconsistent with phid.'
+                    )
+                particle_data['pfenv'] = halo_data['hfenv'][pinds]
+
+        return halo_data, particle_data, params, mock_dir
+
+    # ------------------------------------------------------------------
+    def run_hod(
+        self,
+        tracers=None,
+        want_rsd=True,
+        want_nfw=False,
+        NFW_draw=None,
+        reseed=None,
+        write_to_disk=False,
+        Nthread=None,
+        verbose=False,
+        fn_ext=None,
+    ):
+        """Populate the staged catalog with galaxies. Returns mock_dict
+        (reference run_hod:706-859)."""
+        if tracers is None:
+            tracers = self.tracers
+        if self.z_type == 'secondary' and not want_nfw:
+            raise RuntimeError(
+                'Secondary redshifts do not have particle pos/vel outputs; '
+                'only NFW profiles are supported'
+            )
+        if reseed:
+            start = time.time()
+            rng = np.random.default_rng(np.random.PCG64(reseed))
+            H = len(self.halo_data['hrandoms'])
+            r1 = rng.random(H, dtype=np.float32)
+            if self.want_expvel:
+                rt = rng.random((3, H), dtype=np.float32).T
+                r2 = np.zeros((H, 3), dtype=np.float32)
+                hi = rt >= 0.5
+                r2[hi] = -np.log(2 * (1 - rt[hi]))
+                r2[~hi] = np.log(2 * rt[~hi])
+            else:
+                r2 = np.stack(
+                    [rng.standard_normal(H, dtype=np.float32) for _ in range(3)],
+                    axis=1,
+                )
+            r3 = rng.random(len(self.particle_data['prandoms']), dtype=np.float32)
+            self.halo_data['hrandoms'] = r1.astype(np.float64)
+            self.halo_data['hveldev'] = (
+                r2.astype(np.float64)
+                * self.halo_data['hsigma3d'][:, None]
+                / np.sqrt(3)
+            )
+            self.particle_data['prandoms'] = r3.astype(np.float64)
+            self.logger.info(
+                f'Randoms generated in elapsed time {time.time() - start:.2f} s.'
+            )
+
+        start = time.time()
+        mock_dict = gen_gals(
+            self.halo_data,
+            self.particle_data,
+            tracers,
+            self.params,
+            enable_ranks=self.want_ranks,
+            rsd=want_rsd,
+            verbose=verbose,
+            nfw=want_nfw,
+            NFW_draw=NFW_draw,
+        )
+        self.logger.info(f'HOD generated in elapsed time {time.time() - start:.2f} s.')
+
+        if write_to_disk and tracers:
+            rsd_string = '_rsd' if want_rsd else ''
+            outdir = Path(self.mock_dir) / (
+                'galaxies' + rsd_string + (fn_ext or '')
+            )
+            outdir.mkdir(parents=True, exist_ok=True)
+            for tracer in tracers:
+                td = dict(mock_dict[tracer])
+                Ncent = td.pop('Ncent')
+                table = Table(
+                    td, meta={'Ncent': Ncent, 'Gal_type': tracer, **tracers[tracer]}
+                )
+                if self.params['chunk'] == -1:
+                    table.write(outdir / f'{tracer}s.dat')
+                else:
+                    table.write(outdir / f'{tracer}s_chunk{self.params["chunk"]:d}.dat')
+
+        return mock_dict
+
+    # ------------------------------------------------------------------
+    def compute_ngal(self, tracers=None, Nthread=None):
+        """Expected tracer counts from the halo mass function histograms
+        (reference compute_ngal:861-1179), fully vectorized."""
+        if tracers is None:
+            tracers = self.tracers
+
+        logMs = 0.5 * (self.logMbins[1:] + self.logMbins[:-1])
+        deltacs = 0.5 * (self.deltacbins[1:] + self.deltacbins[:-1])
+        fenvs = 0.5 * (self.fenvbins[1:] + self.fenvbins[:-1])
+        shears = 0.5 * (self.shearbins[1:] + self.shearbins[:-1])
+
+        Mh = 10**logMs
+
+        ngal_dict = {}
+        fsat_dict = {}
+        for etracer, hod in tracers.items():
+            Delta_a = 1.0 / (1 + self.z_mock) - 1.0 / (
+                1 + hod.get('z_pivot', self.z_mock)
+            )
+            logM_cut = hod['logM_cut'] + hod.get('logM_cut_pr', 0) * Delta_a
+            logM1 = hod['logM1'] + hod.get('logM1_pr', 0) * Delta_a
+            ic = hod.get('ic', 1)
+            Ac, As_ = hod.get('Acent', 0), hod.get('Asat', 0)
+            Bc, Bs = hod.get('Bcent', 0), hod.get('Bsat', 0)
+
+            if etracer == 'ELG':
+                Cc, Cs = hod.get('Ccent', 0), hod.get('Csat', 0)
+                # 4D grid (M, deltac, fenv, shear)
+                M = Mh[:, None, None, None]
+                lMc = (
+                    logM_cut
+                    + Ac * deltacs[None, :, None, None]
+                    + Bc * fenvs[None, None, :, None]
+                    + Cc * shears[None, None, None, :]
+                )
+                M1 = 10 ** (
+                    logM1
+                    + As_ * deltacs[None, :, None, None]
+                    + Bs * fenvs[None, None, :, None]
+                    + Cs * shears[None, None, None, :]
+                )
+                ncent = (
+                    shapes_np.N_cen_ELG_v1(
+                        M, hod['p_max'], hod['Q'], lMc, hod['sigma'], hod['gamma']
+                    )
+                    * ic
+                )
+                nsat = (
+                    shapes_np.N_sat_elg(
+                        M, 10**lMc, hod['kappa'], M1, hod['alpha'], hod.get('A_s', 1)
+                    )
+                    * ic
+                )
+                M1_conf = 10 ** (
+                    hod.get('logM1_EE', logM1)
+                    + As_ * deltacs[None, :, None, None]
+                    + Bs * fenvs[None, None, :, None]
+                    + Cs * shears[None, None, None, :]
+                )
+                nsat_conf = (
+                    shapes_np.N_sat_elg(
+                        M,
+                        10**lMc,
+                        hod['kappa'],
+                        M1_conf,
+                        hod.get('alpha_EE', hod['alpha']),
+                        hod.get('A_s', 1),
+                    )
+                    * ic
+                )
+                w = self.halo_mass_func_wshear
+                ngal_cent = float((w * ncent).sum())
+                ngal_sat = float(
+                    (w * (nsat * (1 - ncent) + nsat_conf * ncent)).sum()
+                )
+            else:
+                M = Mh[:, None, None]
+                lMc = logM_cut + Ac * deltacs[None, :, None] + Bc * fenvs[None, None, :]
+                M1 = 10 ** (
+                    logM1 + As_ * deltacs[None, :, None] + Bs * fenvs[None, None, :]
+                )
+                if etracer == 'LRG':
+                    ncent = shapes_np.n_cen_LRG(M, lMc, hod['sigma'])
+                    nsat = shapes_np.n_sat_LRG_modified(
+                        M, lMc, 10**lMc, M1, hod['sigma'], hod['alpha'], hod['kappa']
+                    )
+                elif etracer == 'QSO':
+                    ncent = shapes_np.N_cen_QSO(M, lMc, hod['sigma'])
+                    nsat = shapes_np.N_sat_generic(
+                        M, 10**lMc, hod['kappa'], M1, hod['alpha']
+                    )
+                else:
+                    continue
+                w = self.halo_mass_func
+                ngal_cent = float((w * ncent * ic).sum())
+                ngal_sat = float((w * nsat * ic).sum())
+
+            ngal_dict[etracer] = ngal_cent + ngal_sat
+            fsat_dict[etracer] = ngal_sat / (ngal_cent + ngal_sat)
+        return ngal_dict, fsat_dict
+
+    # ------------------------------------------------------------------
+    def compute_clustering(self, mock_dict, *args, **kwargs):
+        if self.clustering_type == 'xirppi':
+            return self.compute_xirppi(mock_dict, *args, **kwargs)
+        if self.clustering_type == 'wp':
+            return self.compute_wp(mock_dict, *args, **kwargs)
+        if self.clustering_type == 'multipole':
+            return self.compute_multipole(mock_dict, *args, **kwargs)
+        raise ValueError(
+            'clustering_type not implemented or not specified, use xirppi, wp, multipole'
+        )
+
+    def _pair_loop(self, mock_dict, fn, symmetrize=True):
+        out = {}
+        keys = list(mock_dict.keys())
+        for i1, tr1 in enumerate(keys):
+            for i2, tr2 in enumerate(keys):
+                if i1 > i2:
+                    continue
+                out[tr1 + '_' + tr2] = fn(mock_dict[tr1], None if i1 == i2 else mock_dict[tr2])
+                if i1 != i2 and symmetrize:
+                    out[tr2 + '_' + tr1] = out[tr1 + '_' + tr2]
+        return out
+
+    def compute_xirppi(self, mock_dict, rpbins, pimax, pi_bin_size, Nthread=None):
+        def fn(d1, d2):
+            kw = {}
+            if d2 is not None:
+                kw = dict(x2=d2['x'], y2=d2['y'], z2=d2['z'])
+            return calc_xirppi_fast(
+                d1['x'], d1['y'], d1['z'], rpbins, pimax, pi_bin_size, self.lbox, **kw
+            )
+
+        return self._pair_loop(mock_dict, fn)
+
+    def compute_wp(self, mock_dict, rpbins, pimax, pi_bin_size=None, Nthread=None):
+        def fn(d1, d2):
+            kw = {}
+            if d2 is not None:
+                kw = dict(x2=d2['x'], y2=d2['y'], z2=d2['z'])
+            return calc_wp_fast(d1['x'], d1['y'], d1['z'], rpbins, pimax, self.lbox, **kw)
+
+        return self._pair_loop(mock_dict, fn)
+
+    def compute_multipole(
+        self, mock_dict, rpbins, pimax, sbins, nbins_mu, orders=(0, 2), Nthread=None
+    ):
+        def fn(d1, d2):
+            kw = {}
+            if d2 is not None:
+                kw = dict(x2=d2['x'], y2=d2['y'], z2=d2['z'])
+            multi = calc_multipole_fast(
+                d1['x'], d1['y'], d1['z'], sbins, self.lbox,
+                nbins_mu=nbins_mu, orders=orders, **kw
+            )
+            wp = calc_wp_fast(d1['x'], d1['y'], d1['z'], rpbins, pimax, self.lbox, **kw)
+            return np.concatenate((wp, multi))
+
+        return self._pair_loop(mock_dict, fn)
+
+    def compute_power(
+        self,
+        mock_dict,
+        nbins_k,
+        nbins_mu,
+        k_hMpc_max,
+        logk,
+        poles=(),
+        paste='TSC',
+        num_cells=550,
+        compensated=False,
+        interlaced=False,
+    ):
+        """P(k,mu) (+multipoles) per tracer pair (reference compute_power
+        :1338-1472 contract)."""
+        Lbox = self.lbox
+        clustering = {}
+        power = None
+        keys = list(mock_dict.keys())
+        for i1, tr1 in enumerate(keys):
+            d1 = mock_dict[tr1]
+            pos1 = np.stack((d1['x'], d1['y'], d1['z']), axis=1)
+            w1 = d1.get('w', None)
+            for i2, tr2 in enumerate(keys):
+                if i1 > i2:
+                    continue
+                kw = {}
+                if i1 != i2:
+                    d2 = mock_dict[tr2]
+                    kw = dict(
+                        pos2=np.stack((d2['x'], d2['y'], d2['z']), axis=1),
+                        w2=d2.get('w', None),
+                    )
+                power = calc_power(
+                    pos1, Lbox, nbins_k, nbins_mu, k_hMpc_max, logk, paste,
+                    num_cells, compensated, interlaced, w=w1, poles=list(poles), **kw
+                )
+                stem = tr1 + '_' + tr2
+                clustering[stem] = np.asarray(power['power'])
+                clustering[stem + '_modes'] = np.asarray(power['N_mode'])
+                if len(poles):
+                    clustering[stem + '_ell'] = np.asarray(power['poles'])
+                    clustering[stem + '_ell_modes'] = np.asarray(power['N_mode_poles'])
+                if i1 != i2:
+                    for suffix in ('', '_modes', '_ell', '_ell_modes'):
+                        if stem + suffix in clustering:
+                            clustering[tr2 + '_' + tr1 + suffix] = clustering[
+                                stem + suffix
+                            ]
+        clustering['k_binc'] = np.asarray(power['k_mid'])
+        clustering['mu_binc'] = np.asarray(power['mu_mid'])[0]
+        return clustering
+
+    def apply_zcv(self, mock_dict, config, load_presaved=False):
+        from ..zcv.apply import apply_zcv
+
+        return apply_zcv(self, mock_dict, config, load_presaved=load_presaved)
+
+    def apply_zcv_xi(self, mock_dict, config, load_presaved=False):
+        from ..zcv.apply import apply_zcv_xi
+
+        return apply_zcv_xi(self, mock_dict, config, load_presaved=load_presaved)
+
+    def gal_reader(
+        self, output_dir=None, simname=None, sim_dir=None, z_mock=None, want_rsd=True, tracers=None
+    ):
+        """Load galaxies from disk (reference gal_reader:1887-1952)."""
+        if simname is None:
+            simname = self.sim_name
+        if output_dir is None:
+            output_dir = self.output_dir
+        if z_mock is None:
+            z_mock = self.z_mock
+        if tracers is None:
+            tracers = self.tracers
+        rsd_string = '_rsd' if want_rsd else ''
+        mock_dir = Path(output_dir) / simname / ('z%4.3f' % z_mock) / (
+            'galaxies' + rsd_string
+        )
+        mockdict = {}
+        for tracer in tracers:
+            mockdict[tracer] = Table.read(mock_dir / f'{tracer}s.dat')
+        return mockdict
+
+
+def calc_fenv_rank(Menv, mbins, halosM):
+    """Rank Menv within mass bins, scaled to [-0.5, 0.5]
+    (reference calc_fenv_opt prepare_sim.py:281-292)."""
+    fenv_rank = np.zeros(len(Menv))
+    for ibin in range(len(mbins) - 1):
+        mmask = (halosM > mbins[ibin]) & (halosM < mbins[ibin + 1])
+        Nmask = np.sum(mmask)
+        if Nmask > 1:
+            r = Menv[mmask].argsort().argsort()
+            fenv_rank[mmask] = r / (Nmask - 1) - 0.5
+    return fenv_rank

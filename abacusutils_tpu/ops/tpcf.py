@@ -1,0 +1,273 @@
+r"""Pair counting and two-point correlation functions on device.
+
+Replaces the reference's external Corrfunc C/OpenMP library
+(/root/reference/abacusnbody/analysis/tpcf_corrfunc.py) with jitted pair
+kernels: ordered pair counts (i != j) on a periodic box, binned in
+(rp, pi) or (s, mu), accumulated tile-by-tile with `lax.scan` so memory
+stays bounded while the distance evaluations stream through the VPU.
+Wrappers `calc_xirppi_fast` / `calc_wp_fast` / `calc_multipole_fast` keep the
+reference API: DD counts + analytic RR for the periodic box.
+
+Conventions matched to Corrfunc: pairs counted ordered (each unordered pair
+twice for autocorrelation), pi = |dz| in unit bins up to pimax, mu = |dz|/s,
+rp bins right-open, self-pairs excluded.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    'calc_xirppi_fast',
+    'calc_wp_fast',
+    'calc_multipole_fast',
+    'tpcf_multipole',
+    'pair_counts_rppi',
+    'pair_counts_smu',
+]
+
+_TILE = 2048
+
+
+def _min_image(d, lbox):
+    return d - lbox * jnp.round(d / lbox)
+
+
+@partial(jax.jit, static_argnames=('nrp', 'npi', 'autocorr', 'ntile'))
+def _count_rppi(pos1, pos2, rpbins2, pimax, lbox, nrp, npi, autocorr, ntile):
+    """DD counts over ordered pairs, (rp, pi=|dz|) binning. pos arrays are
+    padded to a multiple of the tile size with sentinel coordinates."""
+    N2 = pos2.shape[0]
+
+    def tile_counts(carry, tile):
+        counts = carry
+        p1, valid1, i_idx = tile  # (T, 3), (T,), (T,)
+        dx = _min_image(p1[:, None, 0] - pos2[None, :, 0], lbox)
+        dy = _min_image(p1[:, None, 1] - pos2[None, :, 1], lbox)
+        dz = jnp.abs(_min_image(p1[:, None, 2] - pos2[None, :, 2], lbox))
+        rp2 = dx * dx + dy * dy
+        brp = jnp.searchsorted(rpbins2, rp2.reshape(-1), side='right') - 1
+        bpi = jnp.floor(dz).astype(jnp.int32).reshape(-1)
+        ok = (
+            (brp >= 0)
+            & (brp < nrp)
+            & (dz.reshape(-1) < pimax)
+            & valid1[:, None].repeat(N2, 1).reshape(-1)
+        )
+        if autocorr:
+            # Corrfunc excludes only i==j, not coincident distinct points
+            j_idx = jnp.arange(N2)
+            ok &= (i_idx[:, None] != j_idx[None, :]).reshape(-1)
+        seg = jnp.where(ok, brp * npi + bpi, nrp * npi)
+        counts = counts + jnp.bincount(seg, length=nrp * npi + 1)[:-1]
+        return counts, None
+
+    T = pos1.shape[0] // ntile
+    # validity of padded rows is signalled by inf sentinel coordinates
+    valid = jnp.isfinite(pos1[:, 0]).reshape(ntile, T)
+    idx = jnp.arange(pos1.shape[0]).reshape(ntile, T)
+    counts = jnp.zeros(nrp * npi, jnp.int64 if jax.config.x64_enabled else jnp.int32)
+    counts, _ = jax.lax.scan(tile_counts, counts, (pos1.reshape(ntile, T, 3), valid, idx))
+    return counts
+
+
+@partial(jax.jit, static_argnames=('ns', 'nmu', 'autocorr', 'ntile'))
+def _count_smu(pos1, pos2, sbins2, nmu_f, lbox, ns, nmu, autocorr, ntile):
+    def tile_counts(carry, tile):
+        counts = carry
+        p1, valid1, i_idx = tile
+        dx = _min_image(p1[:, None, 0] - pos2[None, :, 0], lbox)
+        dy = _min_image(p1[:, None, 1] - pos2[None, :, 1], lbox)
+        dz = jnp.abs(_min_image(p1[:, None, 2] - pos2[None, :, 2], lbox))
+        s2 = dx * dx + dy * dy + dz * dz
+        bs = jnp.searchsorted(sbins2, s2.reshape(-1), side='right') - 1
+        s = jnp.sqrt(s2)
+        mu = jnp.where(s > 0, dz / s, 0.0)
+        bmu = jnp.minimum((mu * nmu_f).astype(jnp.int32), nmu - 1).reshape(-1)
+        ok = (bs >= 0) & (bs < ns) & valid1[:, None].repeat(pos2.shape[0], 1).reshape(-1)
+        if autocorr:
+            j_idx = jnp.arange(pos2.shape[0])
+            ok &= (i_idx[:, None] != j_idx[None, :]).reshape(-1)
+        seg = jnp.where(ok, bs * nmu + bmu, ns * nmu)
+        counts = counts + jnp.bincount(seg, length=ns * nmu + 1)[:-1]
+        return counts, None
+
+    T = pos1.shape[0] // ntile
+    valid = jnp.isfinite(pos1[:, 0]).reshape(ntile, T)
+    idx = jnp.arange(pos1.shape[0]).reshape(ntile, T)
+    counts = jnp.zeros(ns * nmu, jnp.int64 if jax.config.x64_enabled else jnp.int32)
+    counts, _ = jax.lax.scan(
+        tile_counts, counts, (pos1.reshape(ntile, T, 3), valid, idx)
+    )
+    return counts
+
+
+def _pad_tiles(pos, tile=_TILE):
+    n = len(pos)
+    npad = (-n) % tile
+    if npad:
+        pad = np.full((npad, 3), np.inf, dtype=pos.dtype)
+        pos = np.concatenate([pos, pad])
+    return pos, (n + npad) // tile
+
+
+def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None):
+    """Ordered pair counts in (rp, unit-pi) bins on a periodic box.
+
+    Returns (nrp, int(pimax)) int64 array. Each unordered pair counts twice
+    for the autocorrelation (Corrfunc DDrppi convention).
+    """
+    pos1 = np.asarray(pos1, np.float64)
+    autocorr = pos2 is None
+    pos2a = pos1 if autocorr else np.asarray(pos2, np.float64)
+    rpbins = np.asarray(rpbins)
+    nrp = len(rpbins) - 1
+    npi = int(pimax)
+    p1, ntile = _pad_tiles(pos1)
+    counts = _count_rppi(
+        jnp.asarray(p1),
+        jnp.asarray(pos2a),
+        jnp.asarray(rpbins.astype(np.float64) ** 2),
+        float(pimax),
+        float(lbox),
+        nrp,
+        npi,
+        autocorr,
+        ntile,
+    )
+    return np.asarray(counts, np.int64).reshape(nrp, npi)
+
+
+def pair_counts_smu(pos1, sbins, nbins_mu, lbox, pos2=None):
+    """Ordered pair counts in (s, mu) bins on a periodic box."""
+    pos1 = np.asarray(pos1, np.float64)
+    autocorr = pos2 is None
+    pos2a = pos1 if autocorr else np.asarray(pos2, np.float64)
+    sbins = np.asarray(sbins)
+    ns = len(sbins) - 1
+    p1, ntile = _pad_tiles(pos1)
+    counts = _count_smu(
+        jnp.asarray(p1),
+        jnp.asarray(pos2a),
+        jnp.asarray(sbins.astype(np.float64) ** 2),
+        float(nbins_mu),
+        float(lbox),
+        ns,
+        int(nbins_mu),
+        autocorr,
+        ntile,
+    )
+    return np.asarray(counts, np.int64).reshape(ns, int(nbins_mu))
+
+
+# ---------------------------------------------------------------------------
+# Reference-API wrappers (tpcf_corrfunc.py:97-372)
+# ---------------------------------------------------------------------------
+
+
+def tpcf_multipole(s_mu_tcpf_result, mu_bins, order=0):
+    """Legendre multipole of xi(s, mu) (reference tpcf_multipole:17-94,
+    originally from halotools)."""
+    from numpy.polynomial import legendre as npleg
+
+    s_mu_tcpf_result = np.atleast_1d(s_mu_tcpf_result)
+    mu_bins = np.atleast_1d(mu_bins)
+    order = int(order)
+    mu_bin_centers = (mu_bins[:-1] + mu_bins[1:]) / 2.0
+    c = np.zeros(order + 1)
+    c[order] = 1.0
+    Ln = lambda x: npleg.legval(x, c)  # noqa: E731
+    return (
+        (2.0 * order + 1.0)
+        / 2.0
+        * np.sum(
+            s_mu_tcpf_result
+            * np.diff(mu_bins)
+            * (Ln(mu_bin_centers) + Ln(-mu_bin_centers)),
+            axis=1,
+        )
+    )
+
+
+def calc_xirppi_fast(
+    x1, y1, z1, rpbins, pimax, pi_bin_size, lbox, Nthread=None,
+    num_cells=None, x2=None, y2=None, z2=None,
+):
+    """xi(rp, pi) with analytic RR (reference calc_xirppi_fast:97-203)."""
+    if not isinstance(pimax, int):
+        raise ValueError('pimax needs to be an integer')
+    if not isinstance(pi_bin_size, int):
+        raise ValueError('pi_bin_size needs to be an integer')
+    if pimax % pi_bin_size != 0:
+        raise ValueError('pi_bin_size needs to be an integer divisor of pimax')
+
+    ND1 = float(len(x1))
+    pos1 = np.stack([x1, y1, z1], axis=1)
+    if x2 is not None:
+        pos2 = np.stack([x2, y2, z2], axis=1)
+        ND2 = len(x2)
+    else:
+        pos2 = None
+        ND2 = ND1
+
+    DD = pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=pos2)
+    DD = DD.reshape(len(rpbins) - 1, pimax // pi_bin_size, pi_bin_size).sum(axis=2)
+
+    rpbins = np.asarray(rpbins)
+    RR = (
+        np.pi * (rpbins[1:] ** 2 - rpbins[:-1] ** 2) * pi_bin_size / lbox**3 * ND1 * ND2 * 2
+    )
+    return DD / RR[:, None] - 1
+
+
+def calc_wp_fast(
+    x1, y1, z1, rpbins, pimax, lbox, Nthread=None, num_cells=None,
+    x2=None, y2=None, z2=None,
+):
+    """wp(rp) = 2 sum_pi xi(rp, pi) (reference calc_wp_fast:301-372)."""
+    if not isinstance(pimax, int):
+        raise ValueError('pimax needs to be an integer')
+    ND1 = float(len(x1))
+    pos1 = np.stack([x1, y1, z1], axis=1)
+    if x2 is not None:
+        pos2 = np.stack([x2, y2, z2], axis=1)
+        ND2 = len(x2)
+    else:
+        pos2 = None
+        ND2 = ND1
+
+    DD = pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=pos2)
+    rpbins = np.asarray(rpbins)
+    RR = np.pi * (rpbins[1:] ** 2 - rpbins[:-1] ** 2) / lbox**3 * ND1 * ND2 * 2
+    xirppi = DD / RR[:, None] - 1
+    return 2 * np.sum(xirppi, axis=1)
+
+
+def calc_multipole_fast(
+    x1, y1, z1, sbins, lbox, Nthread=None, nbins_mu=50, num_cells=None,
+    x2=None, y2=None, z2=None, orders=(0, 2),
+):
+    """xi_ell(s) from (s,mu) counts (reference calc_multipole_fast:206-298)."""
+    ND1 = float(len(x1))
+    pos1 = np.stack([x1, y1, z1], axis=1)
+    if x2 is not None:
+        pos2 = np.stack([x2, y2, z2], axis=1)
+        ND2 = len(x2)
+    else:
+        pos2 = None
+        ND2 = ND1
+
+    DD = pair_counts_smu(pos1, sbins, nbins_mu, lbox, pos2=pos2)
+    sbins = np.asarray(sbins)
+    mu_bins = np.linspace(0, 1, nbins_mu + 1)
+    RR = (
+        2 * np.pi / 3
+        * (sbins[1:, None] ** 3 - sbins[:-1, None] ** 3)
+        * np.diff(mu_bins)[None, :]
+        / lbox**3
+        * ND1 * ND2 * 2
+    )
+    xi_s_mu = DD / RR - 1
+    return np.concatenate([tpcf_multipole(xi_s_mu, mu_bins, order=o) for o in orders])

@@ -1,0 +1,101 @@
+"""End-to-end HOD test: prepare_sim subsampling + AbacusHOD population on
+Mini_N64_L32, compared field-by-field to the reference's golden files
+(contract of reference tests/test_hod.py)."""
+
+import jax
+import numpy as np
+import pytest
+import yaml
+from common import assert_close
+
+jax.config.update('jax_enable_x64', True)
+
+from abacusutils_tpu.io.table import Table  # noqa: E402
+from abacusutils_tpu.models.hod import AbacusHOD, prepare_sim  # noqa: E402
+
+
+@pytest.fixture(scope='module')
+def hod_config(tmp_path_factory, testdata):
+    tmp_path = tmp_path_factory.mktemp('hod')
+    config = yaml.safe_load(open(testdata / 'abacus_hod.yaml'))
+    config['sim_params']['sim_dir'] = str(testdata)
+    config['sim_params']['output_dir'] = str(tmp_path / 'mocks') + '/'
+    config['sim_params']['subsample_dir'] = str(tmp_path / 'subs') + '/'
+    config['sim_params']['scratch_dir'] = str(tmp_path / 'gals') + '/'
+    return config
+
+
+@pytest.fixture(scope='module')
+def prepared(hod_config, testdata):
+    prepare_sim.main(str(testdata / 'abacus_hod.yaml'), params=hod_config)
+    return hod_config
+
+
+def _assert_struct_close(new, ref):
+    assert new.dtype == ref.dtype
+    assert len(new) == len(ref)
+    for name in ref.dtype.names:
+        assert_close(ref[name], new[name])
+
+
+def test_prepare_sim_golden(prepared, testdata):
+    import h5py
+
+    simname = prepared['sim_params']['sim_name']
+    z = prepared['sim_params']['z_mock']
+    savedir = (
+        prepared['sim_params']['subsample_dir'] + simname + '/z' + str(z).ljust(5, '0')
+    )
+    refdir = testdata / 'ref_hod' / simname / ('z' + str(z).ljust(5, '0'))
+    for kind in ('halos', 'particles'):
+        fn = f'{kind}_xcom_2_seed600_abacushod_oldfenv_MT_new.h5'
+        with h5py.File(f'{savedir}/{fn}', 'r') as f:
+            new = f[kind][:]
+        with h5py.File(refdir / fn, 'r') as f:
+            ref = f[kind][:]
+        _assert_struct_close(new, ref)
+
+
+def test_hod_golden(prepared, testdata):
+    config = prepared
+    sim_params = config['sim_params']
+    HOD_params = config['HOD_params']
+    clustering_params = config['clustering_params']
+    simname = sim_params['sim_name']
+    z = sim_params['z_mock']
+
+    ball = AbacusHOD(sim_params, HOD_params, clustering_params)
+    mock_dict = ball.run_hod(ball.tracers, HOD_params['want_rsd'], write_to_disk=True)
+
+    outdir = (
+        sim_params['output_dir'] + '/' + simname + '/z' + str(z).ljust(5, '0') + '/galaxies_rsd'
+    )
+    refdir = testdata / 'ref_hod' / simname / ('z' + str(z).ljust(5, '0')) / 'galaxies_rsd'
+    for tracer in ('LRG', 'ELG'):
+        ref = Table.read(refdir / f'{tracer}s.dat')
+        new = Table.read(f'{outdir}/{tracer}s.dat')
+        assert len(ref) == len(new)
+        for col in ref.colnames:
+            assert_close(np.asarray(ref[col]), np.asarray(new[col]))
+
+    # reseed smoke test
+    mock_dict = ball.run_hod(
+        ball.tracers, HOD_params['want_rsd'], write_to_disk=False, reseed=0xABCDEF
+    )
+    assert all(len(mock_dict[t]['x']) > 0 for t in mock_dict)
+
+    # ngal integrals are finite and positive
+    ngal, fsat = ball.compute_ngal()
+    for t in ngal:
+        assert ngal[t] > 0
+        assert 0 <= fsat[t] <= 1
+
+    # clustering smoke: xirppi on the mock
+    clustering = ball.compute_clustering(
+        mock_dict, ball.rpbins, ball.pimax, ball.pi_bin_size
+    )
+    assert 'LRG_LRG' in clustering and 'LRG_ELG' in clustering
+    assert clustering['LRG_LRG'].shape == (
+        len(ball.rpbins) - 1,
+        ball.pimax // ball.pi_bin_size,
+    )
