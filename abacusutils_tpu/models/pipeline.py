@@ -1,0 +1,154 @@
+r"""Fused HOD-populate -> paint -> P(k) device pipeline.
+
+The reference's inner loop materializes galaxy catalogs (variable-size
+outputs) before gridding them (abacus_hod.py:706-859 + power_spectrum.py).
+On TPU we fuse the whole chain into one static-shape jitted program: the
+population step produces keep indicators and RSD-transformed coordinates for
+every halo/particle, and painting consumes them as weights — no compaction,
+no host synchronization, no data-dependent shapes. This is the north-star
+benchmark path (populate + measure P(k) end-to-end on device).
+
+All particle data is structure-of-arrays (separate 1D x/y/z/... arrays):
+(N,3) arrays are tiled to (N,128) in TPU HBM, a 42x memory blowup at
+base-box scale, so the long axis must always be last.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.power import _bin_kmu_sums
+from .hod import shapes
+
+__all__ = ['hod_pk_fused', 'populate_weights', 'make_example_inputs']
+
+HALO_KEYS = ('x', 'y', 'z', 'vz', 'mass', 'multis', 'randoms', 'vdevz', 'deltac', 'fenv')
+PART_KEYS = ('x', 'y', 'z', 'vz', 'hvelz', 'hmass', 'weights', 'randoms', 'deltac', 'fenv')
+
+
+def _cent_weight(p, mass, deltac, fenv, multis):
+    logM_cut = p['logM_cut'] + p['Acent'] * deltac + p['Bcent'] * fenv
+    return shapes.n_cen_LRG(mass, logM_cut, p['sigma']) * p['ic'] * multis
+
+
+def _sat_weight(p, mass, deltac, fenv, pweights):
+    M1 = 10 ** (p['logM1'] + p['Asat'] * deltac + p['Bsat'] * fenv)
+    logM_cut = p['logM_cut'] + p['Acent'] * deltac + p['Bcent'] * fenv
+    return (
+        shapes.n_sat_LRG_modified(
+            mass, logM_cut, 10**logM_cut, M1, p['sigma'], p['alpha'], p['kappa']
+        )
+        * pweights
+        * p['ic']
+    )
+
+
+def populate_weights(halo, part, p, rsd, inv_velz2kms):
+    """LRG-style populate pass: keep indicators + RSD z for cents and sats."""
+    marker_c = _cent_weight(p, halo['mass'], halo['deltac'], halo['fenv'], halo['multis'])
+    keep_c = (halo['randoms'] <= marker_c).astype(jnp.float32)
+    vz_c = halo['vz'] + p['alpha_c'] * halo['vdevz']
+    z_c = halo['z'] + (vz_c * inv_velz2kms if rsd else 0.0)
+
+    marker_s = _sat_weight(p, part['hmass'], part['deltac'], part['fenv'], part['weights'])
+    keep_s = (part['randoms'] <= marker_s).astype(jnp.float32)
+    vz_s = part['hvelz'] + p['alpha_s'] * (part['vz'] - part['hvelz'])
+    z_s = part['z'] + (vz_s * inv_velz2kms if rsd else 0.0)
+
+    return z_c, keep_c, z_s, keep_s
+
+
+def _paint_weighted(px, py, pz, w, nmesh, lbox, grid):
+    """27-cell TSC scatter with per-particle weights (SoA layout)."""
+    from ..ops.grid import _axis_cloud
+
+    half_l = jnp.float32(lbox) / 2
+    ix, wx = _axis_cloud(px + half_l, lbox, 0.0, nmesh, 'tsc', True)
+    iy, wy = _axis_cloud(py + half_l, lbox, 0.0, nmesh, 'tsc', True)
+    iz, wz = _axis_cloud(pz + half_l, lbox, 0.0, nmesh, 'tsc', True)
+    fx = [jnp.mod(ix + o, nmesh) for o in (-1, 0, 1)]
+    fy = [jnp.mod(iy + o, nmesh) for o in (-1, 0, 1)]
+    fz = [jnp.mod(iz + o, nmesh) for o in (-1, 0, 1)]
+    for a in range(3):
+        for b in range(3):
+            wab = wx[a] * wy[b] * w
+            fab = (fx[a] * nmesh + fy[b]) * nmesh
+            for c in range(3):
+                grid = grid.at[fab + fz[c]].add(wab * wz[c])
+    return grid
+
+
+@partial(jax.jit, static_argnames=('nmesh', 'nbins_k', 'rsd'))
+def hod_pk_fused(
+    halo, part, params, kedges2, muedges2, Wcomp, lbox, velz2kms,
+    nmesh, nbins_k, rsd=True,
+):
+    """Populate (LRG), paint galaxies, FFT, bin P(k) — one device program.
+
+    Returns (power_sum, mode_counts, n_gal); host divides and normalizes.
+    """
+    inv_velz2kms = 1.0 / velz2kms
+    z_c, keep_c, z_s, keep_s = populate_weights(halo, part, params, rsd, inv_velz2kms)
+    n_gal = keep_c.sum() + keep_s.sum()
+
+    grid = jnp.zeros(nmesh * nmesh * nmesh, jnp.float32)
+    grid = _paint_weighted(halo['x'], halo['y'], z_c, keep_c, nmesh, lbox, grid)
+    grid = _paint_weighted(part['x'], part['y'], z_s, keep_s, nmesh, lbox, grid)
+    grid = grid.reshape(nmesh, nmesh, nmesh)
+
+    delta = grid * (grid.size / n_gal) - 1.0
+    delta_k = jnp.fft.rfftn(delta) * jnp.float32(1.0 / grid.size)
+    if Wcomp is not None:
+        delta_k = delta_k / (
+            Wcomp[:, None, None] * Wcomp[None, :, None] * Wcomp[None, None, : nmesh // 2 + 1]
+        )
+    p3d = jnp.abs(delta_k) ** 2
+
+    counts, wsum, ksum, _ = _bin_kmu_sums(
+        p3d, kedges2, muedges2, nmesh, nbins_k, 1, ()
+    )
+    return wsum, counts, n_gal
+
+
+def make_example_inputs(n_halo, n_part, lbox, seed=0):
+    """Synthetic AbacusSummit-like halo/particle SoA arrays for benchmarking."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    u = rng.random(n_halo)
+    mass = (10 ** (11 + 4 * u**3)).astype(np.float32)
+    hx, hy, hz = (
+        (rng.random(n_halo, dtype=np.float32) * lbox - lbox / 2) for _ in range(3)
+    )
+    halo = {
+        'x': hx,
+        'y': hy,
+        'z': hz,
+        'vz': rng.normal(0, 300, n_halo).astype(np.float32),
+        'mass': mass,
+        'multis': np.ones(n_halo, np.float32),
+        'randoms': rng.random(n_halo, dtype=np.float32),
+        'vdevz': rng.normal(0, 100, n_halo).astype(np.float32),
+        'deltac': np.zeros(n_halo, np.float32),
+        'fenv': np.zeros(n_halo, np.float32),
+    }
+    hidx = rng.integers(0, n_halo, n_part)
+    part = {
+        'x': (hx[hidx] + rng.normal(0, 0.5, n_part).astype(np.float32)),
+        'y': (hy[hidx] + rng.normal(0, 0.5, n_part).astype(np.float32)),
+        'z': (hz[hidx] + rng.normal(0, 0.5, n_part).astype(np.float32)),
+        'vz': rng.normal(0, 300, n_part).astype(np.float32),
+        'hvelz': halo['vz'][hidx],
+        'hmass': mass[hidx],
+        'weights': np.full(n_part, 20.0, np.float32),
+        'randoms': rng.random(n_part, dtype=np.float32),
+        'deltac': np.zeros(n_part, np.float32),
+        'fenv': np.zeros(n_part, np.float32),
+    }
+    params = {
+        'logM_cut': 12.8, 'logM1': 14.0, 'sigma': 0.3, 'alpha': 1.0,
+        'kappa': 0.4, 'alpha_c': 0.3, 'alpha_s': 1.0, 'ic': 1.0,
+        'Acent': 0.0, 'Asat': 0.0, 'Bcent': 0.0, 'Bsat': 0.0,
+    }
+    return halo, part, params

@@ -1,0 +1,205 @@
+r"""Mode-coupling window matrix + (optional) ZeNBu LPT theory templates.
+
+The window function (reference zenbu_window.py:49-181, a Numba triple loop
+over all modes) is computed here with vectorized numpy bincounts over the
+rfft mode grid — same output, no per-mode Python.
+
+ZeNBu/velocileptors are optional external theory packages; if unavailable,
+`zenbu_spectra` raises ImportError and precomputed template `.npz` files
+must be supplied (which is how the reference test fixtures work too).
+"""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from ...metadata import get_meta
+from ...ops.power import get_k_mu_edges
+from .cosmo import growth_factors
+
+__all__ = ['periodic_window_function', 'zenbu_spectra', 'main']
+
+
+def periodic_window_function(nmesh, lbox, kout, kin, k2weight=True):
+    """Matrix convolving a finely-evaluated theory P_ell with the periodic
+    box's mode-coupling: np.dot(window.T, pell_th) gives the convolved theory.
+
+    Returns (window, keff).
+    """
+    dk = 2 * np.pi / lbox
+    i = np.arange(nmesh)
+    kvals = np.where(i < nmesh // 2, i, i - nmesh).astype(np.float32) * dk
+    kvalsr = np.arange(nmesh // 2 + 1, dtype=np.float32) * dk
+
+    kx = kvals[:, None, None]
+    ky = kvals[None, :, None]
+    kz = kvalsr[None, None, :]
+    knorm = np.sqrt(kx**2 + ky**2 + kz**2)
+    mu = np.divide(kz, knorm, out=np.zeros_like(knorm + kz), where=knorm > 0)
+
+    nkin = len(kin)
+    nkout = len(kout) - 1
+
+    if k2weight:
+        dkin = np.zeros_like(kin)
+        dkin[:-1] = kin[1:] - kin[:-1]
+        dkin[-1] = dkin[-2]
+        win = kin**2 * dkin
+    else:
+        win = np.ones_like(kin)
+
+    idx_o = np.digitize(knorm, kout) - 1  # (nmesh, nmesh, kzlen)
+    idx_i = np.digitize(kin, kout) - 1
+
+    # input-side normalization per output bin
+    nmodes_in = np.zeros(nkout + 2)
+    np.add.at(nmodes_in, idx_i + 1, win)
+    nmodes_in = nmodes_in[1 : nkout + 1]
+    with np.errstate(divide='ignore'):
+        norm_in = np.where(nmodes_in > 0, 1.0 / nmodes_in, 0.0)
+
+    # mode weights: kz=0 plane counted once, else twice
+    dup = np.ones_like(knorm)
+    dup[:, :, 1:] = 2.0
+
+    inbin = (idx_o >= 0) & (idx_o < nkout)
+    flat_o = np.where(inbin, idx_o, nkout).reshape(-1)
+
+    nmodes_out_k = np.bincount(flat_o, weights=dup.reshape(-1), minlength=nkout + 1)[:nkout]
+    keff = np.bincount(
+        flat_o, weights=(dup * knorm).reshape(-1), minlength=nkout + 1
+    )[:nkout]
+
+    L0 = np.ones_like(mu)
+    L2 = (3 * mu**2 - 1) / 2
+    L4 = (35 * mu**4 - 30 * mu**2 + 3) / 8
+    legs = [L0, L2, L4]
+    pref = [1, 5, 9]
+
+    # the per-mode outer sums: S[ell,ellp,kout] = sum_modes dup * pref[ell] *
+    # L_ell * L_ellp  (each output bin couples only to input k in the same bin)
+    S = np.zeros((3, 3, nkout))
+    for ell in range(3):
+        for ellp in range(3):
+            w = (dup * pref[ell] * legs[ell] * legs[ellp]).reshape(-1)
+            S[ell, ellp] = np.bincount(flat_o, weights=w, minlength=nkout + 1)[:nkout]
+
+    window = np.zeros((nkout * 3, nkin * 3), dtype=np.float32)
+    # input k fall in output bin idx_i[beta]; weight win[beta]
+    valid_i = (idx_i >= 0) & (idx_i < nkout)
+    for ell in range(3):
+        for ellp in range(3):
+            # window[ell*nkout + b_out, ellp*nkin + beta] = S[ell,ellp,b_out] * win[beta]
+            # but only when idx_i[beta] == b_out
+            rows = ell * nkout + idx_i[valid_i]
+            cols = ellp * nkin + np.nonzero(valid_i)[0]
+            window[rows, cols] += (S[ell, ellp, idx_i[valid_i]] * win[valid_i]).astype(
+                np.float32
+            )
+
+    nmodes_out = np.concatenate([nmodes_out_k] * 3)
+    with np.errstate(divide='ignore'):
+        norm_out = np.where(nmodes_out > 0, 1.0 / nmodes_out, 0.0)
+    norm_in_allell = np.concatenate([norm_in] * 3)
+    window = window * norm_out.reshape(-1, 1) * norm_in_allell.reshape(-1, 1)
+    with np.errstate(divide='ignore'):
+        keff = np.where(nmodes_out_k > 0, keff / nmodes_out_k, 0.0)
+    return window, keff.astype(np.float32)
+
+
+def zenbu_spectra(k, z, cfg, kin, pin, pkclass=None, N=2700, jn=15, rsd=True, nmax=6, ngauss=6):
+    """ZeNBu LPT template spectra; requires the optional ZeNBu package."""
+    try:
+        from ZeNBu.zenbu import Zenbu
+        from ZeNBu.zenbu_rsd import Zenbu_RSD
+    except ImportError as e:
+        raise ImportError(
+            'ZeNBu is not available in this environment; supply precomputed '
+            'zenbu_pk*_ij_lpt*.npz template files instead.'
+        ) from e
+    from scipy.interpolate import interp1d
+
+    cutoff = float(cfg['surrogate_gaussian_cutoff'])
+    D, f = growth_factors(cfg['sim_name'], z, want_rsd=rsd)
+
+    if rsd:
+        lpt = Zenbu_RSD(kin, pin * D**2, jn=jn, N=N, cutoff=cutoff)
+        lpt.make_pltable(f, kv=kin, nmax=nmax, ngauss=ngauss)
+        pktable = np.zeros((len(lpt.p0ktable), 3, lpt.p0ktable.shape[-1]))
+        pktable[:, 0, :] = lpt.p0ktable
+        pktable[:, 1, :] = lpt.p2ktable
+        pktable[:, 2, :] = lpt.p4ktable
+        pk_zenbu = interp1d(kin, pktable.T, fill_value='extrapolate')(k)
+    else:
+        zobj = Zenbu(kin, pin * D**2, cutoff=cutoff, N=3000, jn=15)
+        zobj.make_ptable(kvec=kin)
+        cleftpk = zobj.pktable.T
+        pk_zenbu = interp1d(cleftpk[0], cleftpk, fill_value='extrapolate')(k)[1:]
+        lpt = zobj
+    return pk_zenbu[:11], lpt
+
+
+def main(path2config, alt_simname=None, want_xi=False):
+    """Save the window matrix (and, with ZeNBu installed, the LPT templates)
+    as npz files (reference zenbu_window.main :305-478)."""
+    config = yaml.safe_load(open(path2config))
+    zcv_dir = config['zcv_params']['zcv_dir']
+    nmesh = config['zcv_params']['nmesh']
+    kcut = config['zcv_params']['kcut']
+    sim_name = alt_simname or config['sim_params']['sim_name']
+    z_this = config['sim_params']['z_mock']
+    pp = config['power_params']
+
+    meta = get_meta(sim_name, redshift=z_this)
+    Lbox = meta['BoxSize']
+
+    if want_xi:
+        k_hMpc_max, logk = np.pi * nmesh / Lbox, False
+        n_k_bins, n_mu_bins = nmesh // 2, 1
+    else:
+        k_hMpc_max, logk = pp['k_hMpc_max'], pp['logk']
+        n_k_bins, n_mu_bins = pp['nbins_k'], pp['nbins_mu']
+
+    save_dir = Path(zcv_dir) / sim_name
+    save_z_dir = save_dir / f'z{z_this:.3f}'
+    os.makedirs(save_z_dir, exist_ok=True)
+
+    k_bins, _ = get_k_mu_edges(Lbox, k_hMpc_max, n_k_bins, n_mu_bins, logk)
+    k_binc = 0.5 * (k_bins[1:] + k_bins[:-1])
+    dk = k_bins[1] - k_bins[0] if not logk else np.log(k_bins[1] / k_bins[0])
+    if n_k_bins == nmesh // 2:
+        window_fn = save_dir / f'window_nmesh{nmesh:d}.npz'
+    else:
+        window_fn = save_dir / f'window_nmesh{nmesh:d}_dk{dk:.3f}.npz'
+
+    # linear theory input
+    kth = np.asarray(meta['CLASS_power_spectrum']['k (h/Mpc)'])
+    pk_th = np.asarray(meta['CLASS_power_spectrum']['P (Mpc/h)^3'])
+    z_ic = meta['InitialRedshift']
+    D_ratio = meta['GrowthTable'][z_ic] / meta['GrowthTable'][1.0]
+    p_m_lin = D_ratio**2 * pk_th
+
+    if not os.path.exists(window_fn):
+        window, keff = periodic_window_function(nmesh, Lbox, k_bins, k_binc, k2weight=True)
+        np.savez(window_fn, window=window, keff=keff)
+        print('Saved window function')
+
+    for want_rsd in ([True, False] if config['HOD_params'].get('want_rsd', True) else [False]):
+        rsd_str = '_rsd' if want_rsd else ''
+        zenbu_fn = save_z_dir / (
+            f'zenbu_pk{rsd_str}_ij_lpt_nmesh{nmesh:d}.npz'
+            if n_k_bins == nmesh // 2
+            else f'zenbu_pk{rsd_str}_ij_lpt_nmesh{nmesh:d}_dk{dk:.3f}.npz'
+        )
+        if os.path.exists(zenbu_fn):
+            continue
+        cfg = {
+            'sim_name': sim_name,
+            'surrogate_gaussian_cutoff': kcut,
+            'z_ic': z_ic,
+        }
+        pk_ij_zenbu, _ = zenbu_spectra(k_binc, z_this, cfg, kth, p_m_lin, rsd=want_rsd)
+        np.savez(zenbu_fn, pk_ij_zenbu=pk_ij_zenbu, k_binc=k_binc, kcut=kcut)
+        print('Saved ZeNBu templates', zenbu_fn)

@@ -55,41 +55,50 @@ def _wrap_once(pos, box):
     return pos
 
 
-@partial(
-    jax.jit, static_argnames=('nmesh', 'kind', 'wrap', 'flip_xyz')
-)
-def _paint_3d_jit(pos, weights, grid, box, offset, nmesh, kind, wrap, flip_xyz):
-    pos = pos.astype(jnp.float32)
+def _axis_cloud(p1d, box, offset, nmesh, kind, wrap):
+    """Per-axis cell indices + the 3 stencil weights, all 1D arrays.
+
+    1D (structure-of-arrays) layout is load-bearing on TPU: (N,3)-shaped
+    arrays are tiled to (N,128) in HBM (a 42x memory blowup at base-box
+    particle counts), so every hot array here keeps the long axis last.
+    """
+    p1d = p1d.astype(jnp.float32)
     if wrap:
-        pos = _wrap_once(pos, jnp.float32(box))
-
+        p1d = _wrap_once(p1d, jnp.float32(box))
     inv_h = jnp.float32(nmesh) / jnp.float32(box)
-    p = (pos + jnp.float32(offset)) * inv_h  # (N,3) in grid units, >= 0
-
+    p = (p1d + jnp.float32(offset)) * inv_h
     # round half-away-from-zero like the reference's numba `round`; p >= 0 so
     # floor(p + 0.5) is identical
     ix = jnp.floor(p + jnp.float32(0.5)).astype(jnp.int32)
     d = ix.astype(jnp.float32) - p
+    if kind == 'tsc':
+        half = jnp.float32(0.5)
+        ws = (half * (half + d) ** 2, jnp.float32(0.75) - d * d, half * (half - d) ** 2)
+    else:
+        ws = (jnp.maximum(d, 0.0), 1.0 - jnp.abs(d), jnp.maximum(-d, 0.0))
+    return ix, ws
 
-    w3 = _cloud_weights_tsc(d) if kind == 'tsc' else _cloud_weights_cic(d)  # (N,3,3)
 
-    idx = jnp.mod(ix[:, :, None] + jnp.array(_OFFS, jnp.int32), nmesh)  # (N,3,3)
+@partial(jax.jit, static_argnames=('nmesh', 'kind', 'wrap'))
+def _paint_3d_jit(px, py, pz, weights, grid, box, offset, nmesh, kind, wrap):
+    ix, wx = _axis_cloud(px, box, offset, nmesh, kind, wrap)
+    iy, wy = _axis_cloud(py, box, offset, nmesh, kind, wrap)
+    iz, wz = _axis_cloud(pz, box, offset, nmesh, kind, wrap)
 
-    # combine the three axes into 27 flat cell indices + weights
-    fx, fy, fz = idx[:, 0], idx[:, 1], idx[:, 2]
-    flat = (
-        (fx[:, :, None, None] * nmesh + fy[:, None, :, None]) * nmesh
-        + fz[:, None, None, :]
-    )  # (N,3,3,3)
-    w = (
-        w3[:, 0, :, None, None]
-        * w3[:, 1, None, :, None]
-        * w3[:, 2, None, None, :]
-    )
-    if weights is not None:
-        w = w * weights.astype(jnp.float32)[:, None, None, None]
+    fx = [jnp.mod(ix + o, nmesh) for o in _OFFS]
+    fy = [jnp.mod(iy + o, nmesh) for o in _OFFS]
+    fz = [jnp.mod(iz + o, nmesh) for o in _OFFS]
 
-    grid = grid.reshape(-1).at[flat.reshape(-1)].add(w.reshape(-1))
+    grid = grid.reshape(-1)
+    for a in range(3):
+        for b in range(3):
+            wab = wx[a] * wy[b]
+            fab = (fx[a] * nmesh + fy[b]) * nmesh
+            for c in range(3):
+                w = wab * wz[c]
+                if weights is not None:
+                    w = w * weights.astype(jnp.float32)
+                grid = grid.at[fab + fz[c]].add(w)
     return grid.reshape(nmesh, nmesh, nmesh)
 
 
@@ -112,8 +121,11 @@ def paint_3d(
         grid = jnp.zeros((nmesh, nmesh, nmesh), jnp.float32)
     else:
         grid = jnp.asarray(grid, jnp.float32)
+    # split AoS -> SoA on host so the device never sees an (N,3) layout
+    pos = np.asarray(pos) if isinstance(pos, np.ndarray) else pos
+    px, py, pz = (jnp.asarray(np.ascontiguousarray(pos[:, i])) for i in range(3))
     return _paint_3d_jit(
-        jnp.asarray(pos),
+        px, py, pz,
         None if weights is None else jnp.asarray(weights),
         grid,
         float(box),
@@ -121,7 +133,6 @@ def paint_3d(
         int(nmesh),
         kind,
         bool(wrap),
-        False,
     )
 
 

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""North-star benchmark: fused HOD populate + TSC paint + FFT + P(k) binning,
+end-to-end on device, at AbacusSummit-base-box subsample scale.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Baseline derivation (BASELINE.md): the reference populates one tracer of a
+(2 Gpc/h)^3 base box in 80 ms on a 32-core desktop (docs/hod.rst:13-15),
+producing ~4e6 LRGs; its P(k) step on those galaxies (TSC paint at 500 M
+part/s + pocketfft rfftn 256^3 + Numba bin_kmu) adds ~0.27 s, so the
+reference end-to-end populate+P(k) throughput is ~1.1e7 galaxies/s. We
+measure the same chain as one jitted TPU program and report galaxies/s;
+vs_baseline = ours / 1.1e7.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_GAL_PER_S = 1.1e7  # reference 32-core populate+P(k), see docstring
+
+N_HALO = 10_000_000
+N_PART = 50_000_000
+LBOX = 2000.0
+NMESH = 256
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from abacusutils_tpu.models.pipeline import hod_pk_fused, make_example_inputs
+    from abacusutils_tpu.ops.power import get_k_mu_edges, get_W_compensated
+
+    dev = jax.devices()[0]
+    nbins_k = NMESH // 2
+    velz2kms = 100.0
+
+    halo, part, params = make_example_inputs(N_HALO, N_PART, LBOX, seed=42)
+    kedges, muedges = get_k_mu_edges(LBOX, np.pi * NMESH / LBOX, nbins_k, 1, False)
+    dk = 2 * np.pi / LBOX
+    kedges2 = jnp.asarray(((kedges / dk) ** 2).astype(np.float32))
+    muedges2 = jnp.asarray((muedges**2).astype(np.float32))
+    Wcomp = jnp.asarray(get_W_compensated(LBOX, NMESH, 'TSC', False).astype(np.float32))
+
+    halo = {k: jax.device_put(v, dev) for k, v in halo.items()}
+    part = {k: jax.device_put(v, dev) for k, v in part.items()}
+
+    def step():
+        return hod_pk_fused(
+            halo, part, params, kedges2, muedges2, Wcomp,
+            LBOX, velz2kms, NMESH, nbins_k, rsd=True,
+        )
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    wsum, counts, n_gal = step()
+    n_gal = float(n_gal)
+    compile_time = time.perf_counter() - t0
+
+    # steady state
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        wsum, counts, ng = step()
+    float(ng)  # sync
+    dt = (time.perf_counter() - t0) / n_iter
+
+    gal_per_s = n_gal / dt
+    result = {
+        'metric': 'hod_populate_pk_endtoend',
+        'value': round(gal_per_s, 1),
+        'unit': 'galaxies/s',
+        'vs_baseline': round(gal_per_s / BASELINE_GAL_PER_S, 3),
+        'detail': {
+            'n_halo': N_HALO,
+            'n_part': N_PART,
+            'n_gal': int(n_gal),
+            'nmesh': NMESH,
+            'lbox': LBOX,
+            'step_seconds': round(dt, 4),
+            'compile_seconds': round(compile_time, 1),
+            'device': str(dev),
+            'baseline_gal_per_s': BASELINE_GAL_PER_S,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -99,3 +99,29 @@ def test_hod_golden(prepared, testdata):
         len(ball.rpbins) - 1,
         ball.pimax // ball.pi_bin_size,
     )
+
+
+def test_zcv_smoke(prepared, testdata, tmp_path):
+    """ZCV smoke test with the nmesh=8 fixture (reference test_hod.py:141-161)."""
+    import copy
+    import shutil
+
+    config = copy.deepcopy(prepared)
+    ball = AbacusHOD(
+        config['sim_params'], config['HOD_params'], config['clustering_params']
+    )
+    config['sim_params']['sim_name'] = 'AbacusSummit_base_c000_ph006'
+    config['sim_params']['z_mock'] = 0.8
+    config['HOD_params']['want_rsd'] = False
+    zcv_dir = tmp_path / 'zcv'
+    shutil.copytree(testdata / 'data_zcv', zcv_dir)
+    for p in zcv_dir.rglob('*'):
+        p.chmod(0o755 if p.is_dir() else 0o644)
+    config['zcv_params']['zcv_dir'] = str(zcv_dir)
+    config['zcv_params']['tracer_dir'] = str(tmp_path / 'zcv_tracer')
+
+    mock_dict = ball.run_hod(ball.tracers, want_rsd=False, write_to_disk=False)
+    del mock_dict['ELG']  # zcv works with a single tracer currently
+    zcv_dict = ball.apply_zcv(mock_dict, config)
+    assert np.isfinite(np.asarray(zcv_dict['Pk_tr_tr_ell_zcv'])).all()
+    assert 'rho_tr_ZD' in zcv_dict and 'bias' in zcv_dict
