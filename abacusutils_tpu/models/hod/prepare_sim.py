@@ -468,11 +468,22 @@ def prepare_slab(
     )
 
     print('outputting new halo file ')
-    halo_order = [
-        'x_L2com', 'v_L2com', 'r90_L2com', 'r25_L2com', 'r98_L2com', 'id',
-        'sigmav3d_L2com', 'N', 'npstartA', 'npoutA', 'mask_subsample',
-        'multi_halos', 'fenv_rank', 'deltac_rank', 'shear_rank', 'randoms',
-        'randoms_exp', 'randoms_gaus_vrms',
+    # column orders match the reference's table construction order (fields
+    # list + appended columns), which fixes the golden h5 dtypes
+    if halo_lc:
+        halo_order = [
+            'N_interp', 'pos_interp', 'vel_interp', 'r90_L2com', 'r25_L2com',
+            'r98_L2com', 'npstartA', 'npoutA', 'index_halo', 'sigmav3d_L2com',
+            'id', 'x_L2com', 'v_L2com', 'N',
+        ]
+    else:
+        halo_order = [
+            'x_L2com', 'v_L2com', 'r90_L2com', 'r25_L2com', 'r98_L2com', 'id',
+            'sigmav3d_L2com', 'N', 'npstartA', 'npoutA',
+        ]
+    halo_order += [
+        'mask_subsample', 'multi_halos', 'fenv_rank', 'deltac_rank',
+        'shear_rank', 'randoms', 'randoms_exp', 'randoms_gaus_vrms',
     ]
     if os.path.exists(outfilename_halos):
         os.remove(outfilename_halos)

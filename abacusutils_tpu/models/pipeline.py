@@ -18,10 +18,35 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.power import _bin_kmu_sums
+from ..ops.power import _bin_kmu_sums, _get_mode_bin_plan, _segsum_sorted
 from .hod import shapes
 
-__all__ = ['hod_pk_fused', 'populate_weights', 'make_example_inputs']
+__all__ = [
+    'hod_pk_fused',
+    'hod_pk_fused_planned',
+    'populate_weights',
+    'make_example_inputs',
+    'group_inputs',
+    'make_bin_plan_arrays',
+]
+
+
+def make_bin_plan_arrays(nmesh, lbox, nbins_k):
+    """Precompute the mode-binning plan arrays (perm, bounds, dup_sorted) and
+    the bin counts for a monopole P(k) measurement."""
+    import numpy as np
+
+    from ..ops.power import get_k_mu_edges
+
+    kedges, muedges = get_k_mu_edges(lbox, np.pi * nmesh / lbox, nbins_k, 1, False)
+    dk = 2 * np.pi / lbox
+    plan = _get_mode_bin_plan(
+        int(nmesh),
+        ((kedges / dk) ** 2).astype(np.float32),
+        (muedges**2).astype(np.float32),
+        (),
+    )
+    return (plan.perm, plan.bounds, plan.dup_sorted), np.asarray(plan.counts).reshape(-1)
 
 HALO_KEYS = ('x', 'y', 'z', 'vz', 'mass', 'multis', 'randoms', 'vdevz', 'deltac', 'fenv')
 PART_KEYS = ('x', 'y', 'z', 'vz', 'hvelz', 'hmass', 'weights', 'randoms', 'deltac', 'fenv')
@@ -109,6 +134,75 @@ def hod_pk_fused(
         p3d, kedges2, muedges2, nmesh, nbins_k, 1, ()
     )
     return wsum, counts, n_gal
+
+
+def group_inputs(cat, nmesh, lbox, chunk=2048):
+    """Reorder an SoA catalog into the (nmesh, K) x-cell-grouped layout of
+    the MXU paint kernel (one-time staging; the grouping depends only on x,
+    which RSD along z never changes). Padded slots get randoms=2 (populate
+    nothing) and zeros elsewhere. Returns (grouped dict of flat (nmesh*K,)
+    arrays, K)."""
+    import numpy as np
+
+    from ..ops.grid import build_paint_plan
+
+    x_shift = np.asarray(cat['x']) + lbox / 2
+    plan = build_paint_plan(x_shift, nmesh, lbox, chunk=chunk)
+    idx = np.asarray(plan.pad_idx).reshape(-1)
+    N = len(x_shift)
+    out = {}
+    for k, v in cat.items():
+        v = np.asarray(v)
+        fill = 2.0 if k == 'randoms' else 0.0
+        ext = np.concatenate([v, np.full(1, fill, v.dtype)])
+        out[k] = ext[idx]
+    return out, plan.K
+
+
+@partial(jax.jit, static_argnames=('nmesh', 'nbins_k', 'K_h', 'K_p', 'rsd', 'chunk', 'bf16'))
+def hod_pk_fused_planned(
+    halo_g, part_g, params, binplan, Wcomp, lbox, velz2kms,
+    nmesh, nbins_k, K_h, K_p, rsd=True, chunk=2048, bf16=False,
+):
+    """Populate + paint + FFT + P(k) with cell-grouped inputs: the TSC
+    deposit runs as dense one-hot matmuls on the MXU (ops.grid.paint_grouped)
+    instead of XLA scatter — 10-20x faster at base-box scale."""
+    from ..ops.grid import paint_grouped
+
+    inv_velz2kms = 1.0 / velz2kms
+    z_c, keep_c, z_s, keep_s = populate_weights(halo_g, part_g, params, rsd, inv_velz2kms)
+    n_gal = keep_c.sum() + keep_s.sum()
+
+    half_l = jnp.float32(lbox) / 2
+    grid = jnp.zeros((nmesh, nmesh, nmesh), jnp.float32)
+    grid = paint_grouped(
+        grid,
+        (halo_g['x'] + half_l).reshape(nmesh, K_h),
+        (halo_g['y'] + half_l).reshape(nmesh, K_h),
+        (z_c + half_l).reshape(nmesh, K_h),
+        keep_c.reshape(nmesh, K_h),
+        lbox, 0.0, nmesh, K_h, chunk, bf16,
+    )
+    grid = paint_grouped(
+        grid,
+        (part_g['x'] + half_l).reshape(nmesh, K_p),
+        (part_g['y'] + half_l).reshape(nmesh, K_p),
+        (z_s + half_l).reshape(nmesh, K_p),
+        keep_s.reshape(nmesh, K_p),
+        lbox, 0.0, nmesh, K_p, chunk, bf16,
+    )
+
+    delta = grid * (grid.size / n_gal) - 1.0
+    delta_k = jnp.fft.rfftn(delta) * jnp.float32(1.0 / grid.size)
+    if Wcomp is not None:
+        delta_k = delta_k / (
+            Wcomp[:, None, None] * Wcomp[None, :, None] * Wcomp[None, None, : nmesh // 2 + 1]
+        )
+    p3d = jnp.abs(delta_k) ** 2
+
+    perm, bounds, dup_sorted = binplan
+    wsum = _segsum_sorted(p3d.reshape(-1)[perm] * dup_sorted, bounds)
+    return wsum, n_gal
 
 
 def make_example_inputs(n_halo, n_part, lbox, seed=0):

@@ -144,6 +144,105 @@ def _bin_kmu_sums(weights, kedges2, muedges2, n1d, Nk, Nmu, poles):
     return counts, wsum, ksum, pole_sums
 
 
+# ---------------------------------------------------------------------------
+# Mode-binning plan: the bin of every rfft mode is static given
+# (n1d, edges, poles), so we precompute a sort of the modes by bin once and
+# reduce with gather+cumsum per call — ~60x faster than a scatter-based
+# segment-sum on TPU (where scatter executes updates serially).
+# ---------------------------------------------------------------------------
+
+_MODE_BIN_PLANS = {}
+
+
+class _ModeBinPlan:
+    def __init__(self, n1d, kedges2, muedges2, poles):
+        Nk = len(kedges2) - 1
+        Nmu = len(muedges2) - 1
+        kzlen = n1d // 2 + 1
+        i = np.arange(n1d)
+        i2 = np.where(i < n1d // 2, i, i - n1d).astype(np.int64) ** 2
+        kz2 = np.arange(kzlen, dtype=np.int64) ** 2
+        kmag2 = (
+            i2[:, None, None] + i2[None, :, None] + kz2[None, None, :]
+        ).astype(np.float32)
+        mu2 = np.divide(
+            kz2[None, None, :].astype(np.float32),
+            kmag2,
+            out=np.zeros_like(kmag2),
+            where=kmag2 > 0,
+        )
+        kflat = kmag2.reshape(-1)
+        muflat = mu2.reshape(-1)
+        dup = np.ones((n1d, n1d, kzlen), np.float32)
+        dup[:, :, 1:] = 2.0
+        dupflat = dup.reshape(-1)
+
+        valid = (kflat >= kedges2[0]) & (kflat < kedges2[-1])
+        bk = np.clip(np.searchsorted(kedges2, kflat, side='left') - 1, 0, Nk - 1)
+        bmu = np.clip(np.searchsorted(muedges2, muflat, side='left') - 1, 0, Nmu - 1)
+        seg = np.where(valid, bk * Nmu + bmu, Nk * Nmu)
+
+        perm = np.argsort(seg, kind='stable').astype(np.int32)
+        seg_sorted = seg[perm]
+        bounds = np.searchsorted(seg_sorted, np.arange(Nk * Nmu + 1)).astype(np.int32)
+
+        self.Nk, self.Nmu = Nk, Nmu
+        self.perm = jnp.asarray(perm)
+        self.bounds = jnp.asarray(bounds)
+        self.dup_sorted = jnp.asarray(dupflat[perm])
+        # data-independent reductions (include bounds[-1] as terminator so the
+        # invalid-mode tail is excluded; reduceat returns arr[b] for empty
+        # segments, zeroed below)
+        def _reduceat(arr):
+            ext = np.concatenate([arr[perm], [0.0]])
+            out = np.add.reduceat(ext, bounds)[: Nk * Nmu]
+            out[np.diff(bounds) == 0] = 0
+            return out
+
+        self.counts = _reduceat(dupflat).reshape(Nk, Nmu)
+        self.ksum = _reduceat(np.sqrt(kflat) * dupflat).reshape(Nk, Nmu)
+        # per-pole mode weights in sorted order (bk-major sort => k bounds too)
+        self.kbounds = np.searchsorted(
+            seg_sorted // Nmu if Nmu > 1 else seg_sorted, np.arange(Nk + 1)
+        ).astype(np.int32)
+        self.kbounds = jnp.asarray(self.kbounds)
+        self.pole_w = {}
+        for pole in poles:
+            if pole == 0:
+                continue
+            pw = np.zeros_like(muflat)
+            for c, p in _legendre_coeffs(pole):
+                pw += c * muflat ** (0.5 * p) if p % 2 else c * muflat ** (p // 2)
+            self.pole_w[pole] = jnp.asarray(
+                ((2 * pole + 1) * pw * dupflat)[perm].astype(np.float32)
+            )
+
+
+def _get_mode_bin_plan(n1d, kedges2, muedges2, poles):
+    key = (n1d, kedges2.tobytes(), muedges2.tobytes(), tuple(poles))
+    plan = _MODE_BIN_PLANS.get(key)
+    if plan is None:
+        plan = _ModeBinPlan(n1d, kedges2, muedges2, poles)
+        # keep the cache bounded: plans are ~100 MB at nmesh=512
+        if len(_MODE_BIN_PLANS) > 4:
+            _MODE_BIN_PLANS.clear()
+        _MODE_BIN_PLANS[key] = plan
+    return plan
+
+
+def _segsum_sorted(v_sorted, bounds):
+    cs = jnp.concatenate([jnp.zeros(1, v_sorted.dtype), jnp.cumsum(v_sorted)])
+    return cs[bounds[1:]] - cs[bounds[:-1]]
+
+
+@partial(jax.jit, static_argnames=('poles',))
+def _bin_kmu_planned(weights_flat, perm, bounds, kbounds, dup_sorted, pole_w, poles):
+    v = weights_flat[perm] * dup_sorted
+    wsum = _segsum_sorted(v, bounds)
+    psums = [_segsum_sorted(v * pole_w[p], kbounds) for p in poles if p != 0]
+    return wsum, psums
+
+
 def bin_kmu(
     n1d,
     L,
@@ -171,19 +270,20 @@ def bin_kmu(
     muedges2 = (muedges**2).astype(dtype)
     poles = tuple(int(p) for p in np.asarray(poles))
 
-    counts_f, wsum, ksum, pole_sums = _bin_kmu_sums(
-        jnp.asarray(weights),
-        jnp.asarray(kedges2),
-        jnp.asarray(muedges2),
-        int(n1d),
-        Nk,
-        Nmu,
-        poles,
+    plan = _get_mode_bin_plan(int(n1d), kedges2, muedges2, poles)
+    kzlen = n1d // 2 + 1
+    wflat = jnp.asarray(weights)[:, :, :kzlen].astype(jnp.float32).reshape(-1)
+    wsum, psums = _bin_kmu_planned(
+        wflat, plan.perm, plan.bounds, plan.kbounds, plan.dup_sorted,
+        {p: plan.pole_w[p] for p in poles if p != 0}, poles,
     )
-    counts = np.asarray(counts_f, dtype=np.int64).reshape(Nk, Nmu)
+    counts = np.asarray(plan.counts, dtype=np.int64)
     wsum = np.asarray(wsum).reshape(Nk, Nmu)
-    ksum = np.asarray(ksum).reshape(Nk, Nmu) * dk
-    pole_sums = np.asarray(pole_sums)
+    ksum = np.asarray(plan.ksum) * dk
+    pole_sums = np.zeros((len(poles), Nk), dtype)
+    ip_nz = [i for i, p in enumerate(poles) if p != 0]
+    for i, ps in zip(ip_nz, psums):
+        pole_sums[i] = np.asarray(ps)
 
     counts_poles = counts.sum(axis=1)
     weighted_counts_poles = pole_sums.copy()

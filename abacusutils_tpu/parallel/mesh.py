@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.pipeline import _bin_kmu_sums, _paint_weighted, populate_weights
+from ..models.pipeline import _paint_weighted, populate_weights
+from ..ops.power import _bin_kmu_sums
 
 __all__ = ['make_mesh', 'sharded_hod_pk', 'shard_particles']
 

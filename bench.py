@@ -30,32 +30,46 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from abacusutils_tpu.models.pipeline import hod_pk_fused, make_example_inputs
-    from abacusutils_tpu.ops.power import get_k_mu_edges, get_W_compensated
+    from abacusutils_tpu.models.pipeline import (
+        group_inputs,
+        hod_pk_fused_planned,
+        make_bin_plan_arrays,
+        make_example_inputs,
+    )
+    from abacusutils_tpu.ops.power import get_W_compensated
 
     dev = jax.devices()[0]
     nbins_k = NMESH // 2
     velz2kms = 100.0
 
+    import sys
+    t0 = time.perf_counter()
     halo, part, params = make_example_inputs(N_HALO, N_PART, LBOX, seed=42)
-    kedges, muedges = get_k_mu_edges(LBOX, np.pi * NMESH / LBOX, nbins_k, 1, False)
-    dk = 2 * np.pi / LBOX
-    kedges2 = jnp.asarray(((kedges / dk) ** 2).astype(np.float32))
-    muedges2 = jnp.asarray((muedges**2).astype(np.float32))
+    print('inputs', time.perf_counter()-t0, file=sys.stderr, flush=True)
+    # one-time staging: group by paint x-cell (like the reference's staging,
+    # this is outside the per-HOD-evaluation inner loop)
+    t0 = time.perf_counter()
+    halo, K_h = group_inputs(halo, NMESH, LBOX)
+    part, K_p = group_inputs(part, NMESH, LBOX)
+    print('grouping', time.perf_counter()-t0, 'K_h', K_h, 'K_p', K_p, file=sys.stderr, flush=True)
+    binplan, counts = make_bin_plan_arrays(NMESH, LBOX, nbins_k)
     Wcomp = jnp.asarray(get_W_compensated(LBOX, NMESH, 'TSC', False).astype(np.float32))
 
+    t0 = time.perf_counter()
     halo = {k: jax.device_put(v, dev) for k, v in halo.items()}
     part = {k: jax.device_put(v, dev) for k, v in part.items()}
+    jax.block_until_ready(part)
+    print('device_put', time.perf_counter()-t0, file=sys.stderr, flush=True)
 
     def step():
-        return hod_pk_fused(
-            halo, part, params, kedges2, muedges2, Wcomp,
-            LBOX, velz2kms, NMESH, nbins_k, rsd=True,
+        return hod_pk_fused_planned(
+            halo, part, params, binplan, Wcomp,
+            LBOX, velz2kms, NMESH, nbins_k, K_h, K_p, rsd=True,
         )
 
     # compile + warmup
     t0 = time.perf_counter()
-    wsum, counts, n_gal = step()
+    wsum, n_gal = step()
     n_gal = float(n_gal)
     compile_time = time.perf_counter() - t0
 
@@ -63,7 +77,7 @@ def main():
     n_iter = 5
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        wsum, counts, ng = step()
+        wsum, ng = step()
     float(ng)  # sync
     dt = (time.perf_counter() - t0) / n_iter
 
