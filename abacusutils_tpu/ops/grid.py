@@ -181,8 +181,9 @@ def build_paint_plan(px, nmesh, box, offset=0.0, chunk=2048):
     N = len(px)
     pad_idx = np.full((nmesh, K), N, dtype=np.int32)  # N = sentinel row
     starts = np.concatenate([[0], np.cumsum(counts)])
-    for c in range(nmesh):
-        pad_idx[c, : counts[c]] = order[starts[c] : starts[c + 1]]
+    sorted_ix = ix[order]
+    within = np.arange(N, dtype=np.int64) - starts[sorted_ix]
+    pad_idx[sorted_ix, within] = order
     return PaintPlan(jnp.asarray(pad_idx), int(nmesh), float(box), float(offset), K)
 
 
