@@ -247,7 +247,15 @@ class ChunkedBloscDecoder:
             pos += size
 
     def decompress(self, buf, out):
-        """Decompress full framed stream `buf` into uint8 ndarray `out`."""
+        """Decompress full framed stream `buf` into uint8 ndarray `out`.
+
+        Uses the native C++ decoder when available (threaded zstd +
+        unshuffle), falling back to the pure-Python path."""
+        from .native import decode_blosc_stream_native
+
+        if decode_blosc_stream_native(buf, out, nthreads=self.nthreads):
+            return len(out)
+
         chunks = list(self.iter_chunks(buf))
         sizes = [struct.unpack_from('<I', c, 4)[0] for c in chunks]
         offs = np.concatenate([[0], np.cumsum(sizes)])

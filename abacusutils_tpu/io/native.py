@@ -1,0 +1,80 @@
+"""ctypes bindings to the native (C++) IO library, with auto-build.
+
+The native library accelerates the blosc decode path that feeds catalog
+staging (threaded zstd + unshuffle, see native/abacus_io/abacus_io.cpp).
+If the shared library is absent it is built on first use (g++ + libzstd);
+failures fall back silently to the pure-Python codec.
+"""
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ['get_native_lib', 'decode_blosc_stream_native']
+
+_NATIVE_DIR = Path(__file__).parent.parent.parent / 'native' / 'abacus_io'
+_LIB = None
+_TRIED = False
+
+
+def _build():
+    try:
+        subprocess.run(
+            ['make', '-s'],
+            cwd=_NATIVE_DIR,
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_native_lib():
+    """Load (building if necessary) the native IO library, or None."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get('ABACUS_NO_NATIVE'):
+        return None
+    so = _NATIVE_DIR / 'libabacus_io.so'
+    if not so.exists() and _NATIVE_DIR.exists():
+        _build()
+    if not so.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.abacus_decode_blosc_stream.restype = ctypes.c_int
+        lib.abacus_decode_blosc_stream.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def decode_blosc_stream_native(buf, out, nthreads=4):
+    """Decode a framed blosc stream into uint8 ndarray `out` using the native
+    library. Returns True on success, False if unavailable/failed."""
+    lib = get_native_lib()
+    if lib is None:
+        return False
+    arr = np.frombuffer(memoryview(buf), dtype=np.uint8)  # zero-copy view
+    rc = lib.abacus_decode_blosc_stream(
+        arr.ctypes.data_as(ctypes.c_void_p),
+        arr.nbytes,
+        out.ctypes.data_as(ctypes.c_void_p),
+        out.nbytes,
+        int(nthreads),
+    )
+    return rc == 0
