@@ -105,25 +105,33 @@ def combine_cross_spectra(k, spectra, bias_params, rsd=False):
     return pk
 
 
+def _reshape_feff(f_eff, k, ref_array):
+    """Broadcast an f_eff(k) vector against a spectra array whose k-axis can
+    be at different positions depending on rsd/field layout."""
+    ref = np.asarray(ref_array)
+    shape = [1] * ref.ndim
+    kaxis = next(i for i, s in enumerate(ref.shape) if s == len(k))
+    shape[kaxis] = len(k)
+    return np.asarray(f_eff).reshape(shape)
+
+
 def combine_cross_kaiser_spectra(k, spectra_dict, D, bias, f_growth, rec_algo, R, rsd=False):
     """LCV tracer-model cross under the Kaiser approximation."""
     key = 'P_ell' if rsd else 'P_kmu'
     if rec_algo == 'recsym':
-        return D * (
-            bias * spectra_dict[f'{key}_delta_tr']
-            + f_growth * spectra_dict[f'{key}_deltamu2_tr']
-        )
-    if rec_algo == 'reciso':
+        f_eff = f_growth
+    elif rec_algo == 'reciso':
         assert R is not None
         S = np.exp(-(k**2) * R**2 / 2.0)
-        f_eff = f_growth * (1.0 - S)
-        if rsd:
-            f_eff = f_eff.reshape(1, len(k), 1)
-        return D * (
-            bias * spectra_dict[f'{key}_delta_tr']
-            + f_eff * spectra_dict[f'{key}_deltamu2_tr']
+        f_eff = _reshape_feff(
+            f_growth * (1.0 - S), k, spectra_dict[f'{key}_deltamu2_tr']
         )
-    raise ValueError(rec_algo)
+    else:
+        raise ValueError(rec_algo)
+    return D * (
+        bias * spectra_dict[f'{key}_delta_tr']
+        + f_eff * spectra_dict[f'{key}_deltamu2_tr']
+    )
 
 
 def combine_kaiser_spectra(k, spectra_dict, D, bias, f_growth, rec_algo, R, rsd=False):
@@ -134,9 +142,9 @@ def combine_kaiser_spectra(k, spectra_dict, D, bias, f_growth, rec_algo, R, rsd=
     elif rec_algo == 'reciso':
         assert R is not None
         S = np.exp(-(k**2) * R**2 / 2.0)
-        f_eff = f_growth * (1.0 - S)
-        if rsd:
-            f_eff = f_eff.reshape(1, len(k), 1)
+        f_eff = _reshape_feff(
+            f_growth * (1.0 - S), k, spectra_dict[f'{key}_deltamu2_delta']
+        )
     else:
         raise ValueError(rec_algo)
     return D**2 * (

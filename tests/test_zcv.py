@@ -1,0 +1,167 @@
+"""ZCV/LCV component tests: analytic checks of the IC field operators and
+window function, plus an end-to-end LCV smoke on synthetic ICs.
+
+(The bundled data_zcv fixture's stages were generated with mutually
+inconsistent settings — e.g. its advected files carry kcut=0.6 while its
+ic_filt carries 0.452 — so golden field-level comparisons are not possible;
+the reference's own suite also only smoke-tests this subsystem, which
+tests/test_hod.py::test_zcv_smoke covers.)
+"""
+
+import numpy as np
+import pytest
+
+from abacusutils_tpu.models.zcv.ic_fields import get_fields
+from abacusutils_tpu.models.zcv.zenbu_window import periodic_window_function
+
+
+def test_get_fields_single_mode():
+    """delta, delta^2, s^2, nabla^2 of a single plane wave are analytic."""
+    nmesh, lbox, A, m = 16, 100.0, 0.01, 2
+    x = np.arange(nmesh) * (lbox / nmesh)
+    kx = 2 * np.pi * m / lbox
+    dens = (A * np.cos(kx * x))[:, None, None] * np.ones((1, nmesh, nmesh))
+    dens = dens.astype(np.float32)
+
+    d, d2, s2, n2 = get_fields(dens, lbox, nmesh)
+
+    # delta: mean removed (already ~0)
+    assert np.allclose(d, dens - dens.mean(), atol=1e-8)
+    # delta^2 - <delta^2> = A^2 cos^2 - A^2/2  (f32-level tolerance)
+    expect_d2 = dens**2 - (dens**2).mean()
+    assert np.allclose(d2, expect_d2, rtol=1e-4, atol=1e-8)
+    # nabla^2 delta = -k^2 delta
+    assert np.allclose(n2, -(kx**2) * dens, rtol=1e-4, atol=1e-8)
+    # s_ij for k along x: s_xx = (1 - 1/3) delta, s_yy = s_zz = -delta/3,
+    # so s^2 = delta^2 (4/9 + 1/9 + 1/9) = (2/3) delta^2, mean-subtracted
+    expect_s2 = (2.0 / 3) * dens**2
+    expect_s2 -= expect_s2.mean()
+    assert np.allclose(s2, expect_s2, rtol=1e-4, atol=1e-8)
+
+
+def test_window_matches_direct_mode_sum():
+    """The vectorized window matrix must equal the defining per-mode sum:
+    for theory P(k-vec) = sum_l L_l(mu) Pbar_l[bin(k)], the measured multipole
+    l in bin b is sum_{modes in b} dup*(2l+1)*L_l(mu)*P(k-vec) / N_modes(b).
+    Also: a flat monopole theory must convolve to a unit measured monopole.
+    """
+    nmesh, lbox = 8, 100.0
+    nkout = nmesh // 2
+    kout = np.linspace(0, np.pi * nmesh / lbox, nkout + 1)
+    kin = np.linspace(1e-4, np.sqrt(3) * kout[-1], 60)
+    window, keff = periodic_window_function(nmesh, lbox, kout, kin)
+
+    rng = np.random.default_rng(3)
+    pth = rng.random((3, len(kin)))
+    conv = (window @ np.concatenate(pth)).reshape(3, nkout)
+
+    # brute-force mode sum
+    dk = 2 * np.pi / lbox
+    i = np.arange(nmesh)
+    kv = np.where(i < nmesh // 2, i, i - nmesh) * dk
+    kz = np.arange(nmesh // 2 + 1) * dk
+    KX, KY, KZ = np.meshgrid(kv, kv, kz, indexing='ij')
+    knorm = np.sqrt(KX**2 + KY**2 + KZ**2)
+    mu = np.divide(KZ, knorm, out=np.zeros_like(knorm), where=knorm > 0)
+    dup = np.ones_like(knorm)
+    dup[:, :, 1:] = 2.0
+    legs = [np.ones_like(mu), (3 * mu**2 - 1) / 2, (35 * mu**4 - 30 * mu**2 + 3) / 8]
+    pref = [1, 5, 9]
+
+    # input-side: k^2 dk-weighted average of theory in each kout bin
+    dkin = np.diff(kin, append=kin[-1] + (kin[-1] - kin[-2]))
+    w_in = kin**2 * dkin
+    idx_i = np.digitize(kin, kout) - 1
+    pbar = np.zeros((3, nkout))
+    for b in range(nkout):
+        sel = idx_i == b
+        if sel.any():
+            pbar[:, b] = (pth[:, sel] * w_in[sel]).sum(axis=1) / w_in[sel].sum()
+
+    idx_o = np.digitize(knorm, kout) - 1
+    expected = np.zeros((3, nkout))
+    for b in range(nkout):
+        sel = (idx_o == b)
+        nmodes = dup[sel].sum()
+        if nmodes == 0:
+            continue
+        pk_mode = sum(legs[lp][sel] * pbar[lp, b] for lp in range(3))
+        for ell in range(3):
+            expected[ell, b] = (
+                dup[sel] * pref[ell] * legs[ell][sel] * pk_mode
+            ).sum() / nmodes
+
+    assert np.allclose(conv, expected, rtol=1e-4, atol=1e-6)
+
+    # flat monopole convolves to unit monopole in occupied bins
+    flat = np.concatenate([np.ones(len(kin)), np.zeros(2 * len(kin))])
+    conv0 = (window @ flat).reshape(3, nkout)[0]
+    occupied = np.asarray(keff) > 0
+    assert np.allclose(conv0[occupied], 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize('rec_algo', ['recsym', 'reciso'])
+def test_lcv_end_to_end(tmp_path, rec_algo):
+    """Full LCV chain on a synthetic Gaussian IC: ic_filt -> linear fields ->
+    tracer recon spectra -> run_lcv."""
+    import yaml
+
+    from abacusutils_tpu.models.zcv import linear_fields, tools_cv, tracer_power
+    from abacusutils_tpu.models.zcv.ic_fields import compress_asdf
+    from abacusutils_tpu.models.zcv.zenbu_window import periodic_window_function
+    from abacusutils_tpu.ops.power import get_k_mu_edges
+
+    sim_name = 'AbacusSummit_base_c000_ph006'
+    nmesh, lbox, z = 8, 2000.0, 0.8
+    kcut = 0.2261946710584651
+
+    rng = np.random.default_rng(7)
+    dens = rng.normal(0, 0.05, (nmesh, nmesh, nmesh)).astype(np.float32)
+
+    lcv_dir = tmp_path / 'lcv'
+    (lcv_dir / sim_name).mkdir(parents=True)
+    compress_asdf(
+        str(lcv_dir / sim_name / f'ic_filt_nmesh{nmesh}.asdf'),
+        {'dens': dens},
+        {'sim_name': sim_name, 'Lbox': lbox, 'nmesh': nmesh, 'kcut': kcut},
+    )
+
+    config = {
+        'sim_params': {'sim_name': sim_name, 'z_mock': z},
+        'HOD_params': {'want_rsd': True, 'rec_algo': rec_algo, 'smoothing': 10.0},
+        'lcv_params': {
+            'lcv_dir': str(lcv_dir), 'ic_dir': str(lcv_dir), 'nmesh': nmesh,
+            'kcut': kcut,
+        },
+        'power_params': {
+            'nbins_k': nmesh // 2, 'nbins_mu': 1, 'poles': [0, 2, 4],
+            'k_hMpc_max': np.pi * nmesh / lbox, 'paste': 'CIC',
+            'compensated': True, 'interlaced': True, 'logk': False,
+            'nmesh': nmesh,
+        },
+    }
+    cfg_fn = tmp_path / 'cfg.yaml'
+    yaml.safe_dump(config, open(cfg_fn, 'w'))
+
+    power_lin_dict = linear_fields.main(str(cfg_fn))
+
+    # synthetic "galaxies"
+    tracer_pos = (rng.random((500, 3)) * lbox).astype(np.float32)
+    power_tr_dict = tracer_power.get_recon_power(
+        tracer_pos, None, True, config, want_load_tr_fft=False
+    )
+    # second call loads the saved tracer fft and computes the spectra
+    power_tr_dict = tracer_power.get_recon_power(
+        None, None, True, config, want_load_tr_fft=True
+    )
+
+    # window file
+    kout, _ = get_k_mu_edges(lbox, config['power_params']['k_hMpc_max'], nmesh // 2, 1, False)
+    kin = 0.5 * (kout[1:] + kout[:-1])
+    window, keff = periodic_window_function(nmesh, lbox, kout, kin)
+    np.savez(lcv_dir / sim_name / f'window_nmesh{nmesh}.npz', window=window, keff=keff)
+
+    lcv_dict = tools_cv.run_lcv(power_tr_dict, power_lin_dict, config)
+    assert np.isfinite(lcv_dict['bias'])
+    assert np.isfinite(np.asarray(lcv_dict['Pk_tr_tr_ell_lcv'])).all()
+    assert 'rho_tr_lf' in lcv_dict
