@@ -24,9 +24,11 @@ from .hod import shapes
 __all__ = [
     'hod_pk_fused',
     'hod_pk_fused_planned',
+    'hod_pk_fused_pallas',
     'populate_weights',
     'make_example_inputs',
     'group_inputs',
+    'group_inputs2d',
     'make_bin_plan_arrays',
 ]
 
@@ -157,6 +159,76 @@ def group_inputs(cat, nmesh, lbox, chunk=2048):
         ext = np.concatenate([v, np.full(1, fill, v.dtype)])
         out[k] = ext[idx]
     return out, plan.K
+
+
+def group_inputs2d(cat, nmesh, lbox, yb=16, chunk=512):
+    """Reorder an SoA catalog into the (nmesh*(nmesh//yb), K) layout of the
+    Pallas deposit kernel: grouped by (x-cell, y-block), neither of which RSD
+    along z ever changes. Padded slots get randoms=2 (populate nothing) and
+    zeros elsewhere. Returns (grouped dict of flat arrays, plan)."""
+    import numpy as np
+
+    from ..ops.grid_pallas import build_paint_plan2d
+
+    x_shift = np.asarray(cat['x']) + lbox / 2
+    y_shift = np.asarray(cat['y']) + lbox / 2
+    plan = build_paint_plan2d(x_shift, y_shift, nmesh, lbox, yb=yb, chunk=chunk)
+    idx = np.asarray(plan.pad_idx).reshape(-1)
+    out = {}
+    for k, v in cat.items():
+        v = np.asarray(v)
+        fill = 2.0 if k == 'randoms' else 0.0
+        ext = np.concatenate([v, np.full(1, fill, v.dtype)])
+        out[k] = ext[idx]
+    return out, plan
+
+
+@partial(
+    jax.jit,
+    static_argnames=('lbox', 'nmesh', 'yb', 'nbins_k', 'K_h', 'K_p', 'rsd', 'chunk'),
+)
+def hod_pk_fused_pallas(
+    halo_g, part_g, params, binplan, Wcomp, lbox, velz2kms,
+    nmesh, yb, nbins_k, K_h, K_p, rsd=True, chunk=512,
+):
+    """Populate + paint + FFT + P(k) with the Pallas fused deposit kernel
+    (ops.grid_pallas): stencils built in VMEM, y one-hot only 3*(yb+2) wide —
+    ~4x faster than the XLA-planned paint at base-box scale."""
+    from ..ops.grid_pallas import _fold_blocks, _paint2d_blocks
+
+    inv_velz2kms = 1.0 / velz2kms
+    z_c, keep_c, z_s, keep_s = populate_weights(halo_g, part_g, params, rsd, inv_velz2kms)
+    n_gal = keep_c.sum() + keep_s.sum()
+
+    half_l = jnp.float32(lbox) / 2
+    ncell = nmesh * (nmesh // yb)
+    blocks = _paint2d_blocks(
+        (halo_g['x'] + half_l).reshape(ncell, K_h),
+        (halo_g['y'] + half_l).reshape(ncell, K_h),
+        (z_c + half_l).reshape(ncell, K_h),
+        keep_c.reshape(ncell, K_h),
+        lbox, 0.0, nmesh, yb, K_h, chunk,
+    )
+    blocks = blocks + _paint2d_blocks(
+        (part_g['x'] + half_l).reshape(ncell, K_p),
+        (part_g['y'] + half_l).reshape(ncell, K_p),
+        (z_s + half_l).reshape(ncell, K_p),
+        keep_s.reshape(ncell, K_p),
+        lbox, 0.0, nmesh, yb, K_p, chunk,
+    )
+    grid = _fold_blocks(blocks, jnp.zeros((nmesh, nmesh, nmesh), jnp.float32), nmesh, yb)
+
+    delta = grid * (grid.size / n_gal) - 1.0
+    delta_k = jnp.fft.rfftn(delta) * jnp.float32(1.0 / grid.size)
+    if Wcomp is not None:
+        delta_k = delta_k / (
+            Wcomp[:, None, None] * Wcomp[None, :, None] * Wcomp[None, None, : nmesh // 2 + 1]
+        )
+    p3d = jnp.abs(delta_k) ** 2
+
+    perm, bounds, dup_sorted = binplan
+    wsum = _segsum_sorted(p3d.reshape(-1)[perm] * dup_sorted, bounds)
+    return wsum, n_gal
 
 
 @partial(jax.jit, static_argnames=('nmesh', 'nbins_k', 'K_h', 'K_p', 'rsd', 'chunk', 'bf16'))
