@@ -24,6 +24,7 @@ N_HALO = 10_000_000
 N_PART = 50_000_000
 LBOX = 2000.0
 NMESH = 256
+CHUNK = 8192  # deposit matmul K-tile; larger tiles amortize loop overhead
 
 
 def main():
@@ -49,8 +50,8 @@ def main():
     # one-time staging: group by paint x-cell (like the reference's staging,
     # this is outside the per-HOD-evaluation inner loop)
     t0 = time.perf_counter()
-    halo, K_h = group_inputs(halo, NMESH, LBOX)
-    part, K_p = group_inputs(part, NMESH, LBOX)
+    halo, K_h = group_inputs(halo, NMESH, LBOX, chunk=CHUNK)
+    part, K_p = group_inputs(part, NMESH, LBOX, chunk=CHUNK)
     print('grouping', time.perf_counter()-t0, 'K_h', K_h, 'K_p', K_p, file=sys.stderr, flush=True)
     binplan, counts = make_bin_plan_arrays(NMESH, LBOX, nbins_k)
     Wcomp = jnp.asarray(get_W_compensated(LBOX, NMESH, 'TSC', False).astype(np.float32))
@@ -64,7 +65,7 @@ def main():
     def step():
         return hod_pk_fused_planned(
             halo, part, params, binplan, Wcomp,
-            LBOX, velz2kms, NMESH, nbins_k, K_h, K_p, rsd=True,
+            LBOX, velz2kms, NMESH, nbins_k, K_h, K_p, rsd=True, chunk=CHUNK,
         )
 
     # compile + warmup
