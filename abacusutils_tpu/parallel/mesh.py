@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.pipeline import _paint_weighted, populate_weights
 from ..ops.power import _bin_kmu_sums
 
-__all__ = ['make_mesh', 'sharded_hod_pk', 'shard_particles']
+__all__ = ['make_mesh', 'sharded_hod_pk', 'shard_particles', 'calc_power_sharded']
 
 
 def make_mesh(devices=None, axis='data'):
@@ -95,3 +95,110 @@ def sharded_hod_pk(
         return wsum, counts, n_gal
 
     return step(halo, part, params, jnp.asarray(kedges2), jnp.asarray(muedges2))
+
+
+def calc_power_sharded(
+    pos, lbox, mesh=None, kbins=None, mubins=1, k_max=None,
+    logk=False, nmesh=256, w=None, poles=(), axis='data',
+):
+    """P(k,mu)/P_ell with particles sharded over a device mesh.
+
+    The multi-chip counterpart of ops.power.calc_power (reference
+    power_spectrum.py:1131-1319 runs per node on independent chunks): each
+    chip paints its particle shard into a full local grid, the single
+    cross-chip dependency is a psum of grid deposits over ICI, and the
+    FFT + static mode binning run replicated on the reduced grid.
+
+    Returns a dict with k_mid, k_avg, power, N_mode (and poles/N_mode_poles
+    when `poles` is given), matching calc_power's column semantics.
+    """
+    from ..ops.power import _get_mode_bin_plan, _segsum_sorted, get_k_mu_edges
+
+    if mesh is None:
+        mesh = make_mesh()
+    if k_max is None:
+        k_max = np.pi * nmesh / lbox
+    nbins_k = nmesh // 2 if kbins is None else int(kbins)
+    nbins_mu = int(mubins)
+    kedges, muedges = get_k_mu_edges(lbox, k_max, nbins_k, nbins_mu, logk)
+    dk = 2 * np.pi / lbox
+    poles = tuple(int(p) for p in poles)
+    plan = _get_mode_bin_plan(
+        int(nmesh),
+        ((kedges / dk) ** 2).astype(np.float32),
+        (muedges**2).astype(np.float32),
+        poles,
+    )
+
+    pos = np.asarray(pos, np.float32)
+    n_part = len(pos)
+    if w is None:
+        w = np.ones(n_part, np.float32)
+    arrs = shard_particles(
+        mesh,
+        {'x': pos[:, 0], 'y': pos[:, 1], 'z': pos[:, 2], 'weights': w},
+        axis=axis,
+    )
+    pole_w = {p: plan.pole_w[p] for p in poles if p != 0}
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=({k: P(axis) for k in arrs}, P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+    )
+    def step(a, perm, bounds, kbounds, dup_sorted, pole_w_l):
+        grid = jnp.zeros(nmesh * nmesh * nmesh, jnp.float32)
+        grid = _paint_weighted(
+            a['x'], a['y'], a['z'], a['weights'], nmesh, lbox, grid
+        )
+        grid = jax.lax.psum(grid, axis).reshape(nmesh, nmesh, nmesh)
+        # reference quirk kept: normalize by particle COUNT, not total weight
+        # (get_field power_spectrum.py:808-857 uses len(pos))
+        delta = grid * (grid.size / jnp.float32(n_part)) - 1.0
+        delta_k = jnp.fft.rfftn(delta) * jnp.float32(1.0 / grid.size)
+        p3d = jnp.abs(delta_k) ** 2
+        v = p3d.reshape(-1)[perm] * dup_sorted
+        wsum = _segsum_sorted(v, bounds)
+        psums = jnp.stack(
+            [_segsum_sorted(v * pole_w_l[p], kbounds) for p in pole_w_l]
+        ) if pole_w_l else jnp.zeros((0, nbins_k), jnp.float32)
+        return wsum, psums, jnp.float32(n_part)
+
+    # padded rows carry weight 0 (shard_particles fill), so they are inert in
+    # the deposit but wtot already counts only real weights
+    wsum, psums, _ = step(
+        arrs, plan.perm, plan.bounds, plan.kbounds, plan.dup_sorted, pole_w
+    )
+    counts = np.asarray(plan.counts, np.float64)
+    wsum = np.asarray(wsum).reshape(nbins_k, nbins_mu)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        power = np.where(counts != 0, wsum / counts, 0.0) * lbox**3
+        k_avg = np.where(
+            counts != 0, np.asarray(plan.ksum) * dk / counts, 0.0
+        )
+    out = {
+        'k_mid': 0.5 * (kedges[1:] + kedges[:-1]),
+        'k_avg': k_avg,
+        'power': power,
+        'N_mode': np.asarray(plan.counts, np.int64),
+    }
+    if poles:
+        counts_k = out['N_mode'].sum(axis=1)
+        pole_arr = np.zeros((len(poles), nbins_k))
+        psums = np.asarray(psums)
+        j = 0
+        for i, p in enumerate(poles):
+            if p == 0:
+                pole_arr[i] = wsum.sum(axis=1)
+            else:
+                pole_arr[i] = psums[j]
+                j += 1
+        with np.errstate(invalid='ignore', divide='ignore'):
+            # (nbins_k, npoles), matching calc_power's table column layout
+            out['poles'] = (np.where(
+                counts_k[None, :] != 0, pole_arr / counts_k[None, :], 0.0
+            ) * lbox**3).T
+        out['N_mode_poles'] = counts_k
+    return out

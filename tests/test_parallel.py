@@ -1,0 +1,69 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh (conftest
+sets XLA_FLAGS=--xla_force_host_platform_device_count=8): the sharded
+pipeline and power spectrum must agree with their single-device
+counterparts, independent of device count.
+"""
+
+import jax
+import numpy as np
+import numpy.testing as npt
+
+from abacusutils_tpu.ops.power import calc_power, get_k_mu_edges
+from abacusutils_tpu.parallel.mesh import (
+    calc_power_sharded,
+    make_mesh,
+    shard_particles,
+    sharded_hod_pk,
+)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_calc_power_sharded_matches_single():
+    rng = np.random.default_rng(11)
+    n, nmesh, lbox = 120_001, 32, 500.0  # odd n exercises shard padding
+    pos = (rng.random((n, 3)) * lbox).astype(np.float32)
+    w = rng.random(n).astype(np.float32)
+
+    res_s = calc_power_sharded(
+        pos, lbox, mesh=make_mesh(), nmesh=nmesh, kbins=16, w=w,
+        poles=(0, 2, 4),
+    )
+    res = calc_power(
+        pos, lbox, kbins=16, mubins=1, k_max=np.pi * nmesh / lbox, logk=False,
+        nmesh=nmesh, paste='TSC', compensated=False, interlaced=False,
+        w=w, poles=[0, 2, 4],
+    )
+    npt.assert_allclose(
+        np.asarray(res_s['power']).ravel(), np.asarray(res['power']).ravel(),
+        rtol=3e-4,
+    )
+    pl2 = np.asarray(res['poles'])
+    npt.assert_allclose(
+        np.asarray(res_s['poles']), pl2, rtol=3e-4, atol=2e-4 * np.abs(pl2).max()
+    )
+    npt.assert_array_equal(
+        np.asarray(res_s['N_mode']).ravel(), np.asarray(res['N_mode']).ravel()
+    )
+
+
+def test_sharded_hod_pk_runs():
+    from abacusutils_tpu.models.pipeline import make_example_inputs
+
+    lbox, nmesh, nbins_k = 250.0, 16, 8
+    halo, part, params = make_example_inputs(5000, 20000, lbox, seed=3)
+    mesh = make_mesh()
+    halo_s = shard_particles(mesh, halo)
+    part_s = shard_particles(mesh, part)
+    kedges, muedges = get_k_mu_edges(lbox, np.pi * nmesh / lbox, nbins_k, 1, False)
+    dk = 2 * np.pi / lbox
+    wsum, counts, n_gal = sharded_hod_pk(
+        mesh, halo_s, part_s, params,
+        ((kedges / dk) ** 2).astype(np.float32), (muedges**2).astype(np.float32),
+        lbox, 100.0, nmesh, nbins_k,
+    )
+    assert float(n_gal) > 0
+    assert np.isfinite(np.asarray(wsum)).all()
+    assert np.asarray(counts).sum() > 0
