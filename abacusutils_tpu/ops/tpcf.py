@@ -113,7 +113,177 @@ def _pad_tiles(pos, tile=_TILE):
     return pos, (n + npad) // tile
 
 
-def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None):
+# ---------------------------------------------------------------------------
+# Cell-list pair counting (the large-N path; replaces Corrfunc's cell grids)
+# ---------------------------------------------------------------------------
+
+
+class _CellPlan:
+    """Host-side grouping of points into a (nc^3, K) padded cell layout plus
+    the 27-neighbor cell map. The TPU analogue of Corrfunc's cell grid: only
+    neighbor-cell pairs are evaluated, so cost is O(N * local density)
+    instead of O(N^2). Cell width = lbox/nc >= rmax by construction."""
+
+    def __init__(self, pos, lbox, nc):
+        pos = np.asarray(pos, np.float64)
+        n = len(pos)
+        p = np.mod(pos, lbox)
+        ci = np.minimum((p / lbox * nc).astype(np.int64), nc - 1)
+        key = (ci[:, 0] * nc + ci[:, 1]) * nc + ci[:, 2]
+        C = nc**3
+        counts = np.bincount(key, minlength=C)
+        K = max(8, int(-(-counts.max() // 8) * 8))
+        order = np.argsort(key, kind='stable')
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        within = np.arange(n) - starts[key[order]]
+        pad_idx = np.full((C, K), n, np.int64)
+        pad_idx[key[order], within] = order
+        self.nc, self.K, self.pad_idx = nc, K, pad_idx
+
+    def gathered(self, pos, lbox):
+        """(C, K) x/y/z arrays (inf sentinel in padded slots) + global index."""
+        pos = np.mod(np.asarray(pos, np.float64), lbox)
+        n = len(pos)
+        out = []
+        for a in range(3):
+            ext = np.concatenate([pos[:, a], [np.inf]]).astype(np.float32)
+            out.append(jnp.asarray(ext[self.pad_idx]))
+        idx = np.concatenate([np.arange(n, dtype=np.int32), [np.int32(n)]])
+        out.append(jnp.asarray(idx[self.pad_idx]))
+        return out
+
+
+def _neighbor_map(nc):
+    """(nc^3, 27) int32: flat indices of the 27 surrounding cells."""
+    i = np.arange(nc)
+    ii, jj, kk = np.meshgrid(i, i, i, indexing='ij')
+    nbr = np.empty((nc**3, 27), np.int32)
+    o = 0
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            for dk in (-1, 0, 1):
+                nbr[:, o] = (
+                    ((ii + di) % nc * nc + (jj + dj) % nc) * nc + (kk + dk) % nc
+                ).reshape(-1)
+                o += 1
+    return nbr
+
+
+def _hist_onehot(seg, nbpad):
+    """Histogram small-cardinality int segments via a compare-reduce (XLA
+    fuses it; avoids bincount's serial scatter on TPU)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nbpad,), 0)
+    flat = seg.reshape(-1, 1)
+    return jnp.sum(flat == cols[None, :], axis=0, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=('mode', 'nb1', 'nb2', 'autocorr', 'nblk'))
+def _cell_counts(
+    g1, g2, nbr, edges2, aux, lbox, mode, nb1, nb2, autocorr, nblk
+):
+    """Neighbor-cell pair counts. g1/g2 = (x, y, z, idx) each (C, K);
+    mode 'rppi': edges2=rp^2 edges, aux=pimax; mode 'smu': edges2=s^2 edges,
+    aux=nmu. Returns (nb1*nb2,) int32 counts."""
+    x1, y1, z1, i1 = g1
+    C, K1 = x1.shape
+    K2 = g2[0].shape[1]
+    nb = nb1 * nb2
+    nbpad = nb + 1
+
+    def one_offset(counts, o):
+        rows = nbr[:, o]
+        xn, yn, zn, jn = (a[rows] for a in g2)
+
+        def block(counts, b):
+            sl = lambda a, w: jax.lax.dynamic_slice(a, (b, 0), (C // nblk, w))  # noqa: E731
+            dx = _min_image(sl(x1, K1)[:, :, None] - sl(xn, K2)[:, None, :], lbox)
+            dy = _min_image(sl(y1, K1)[:, :, None] - sl(yn, K2)[:, None, :], lbox)
+            dz = jnp.abs(
+                _min_image(sl(z1, K1)[:, :, None] - sl(zn, K2)[:, None, :], lbox)
+            )
+            if mode == 'rppi':
+                r2 = dx * dx + dy * dy
+                b2 = jnp.floor(dz).astype(jnp.int32)
+                ok = dz < aux
+            else:
+                r2 = dx * dx + dy * dy + dz * dz
+                s = jnp.sqrt(r2)
+                mu = jnp.where(s > 0, dz / s, 0.0)
+                b2 = jnp.minimum((mu * aux).astype(jnp.int32), nb2 - 1)
+                ok = True
+            b1v = jnp.searchsorted(edges2, r2, side='right') - 1
+            ok = ok & (b1v >= 0) & (b1v < nb1) & jnp.isfinite(r2)
+            if autocorr:
+                ok = ok & (sl(i1, K1)[:, :, None] != sl(jn, K2)[:, None, :])
+            seg = jnp.where(ok, b1v * nb2 + b2, nb)
+            return counts + _hist_onehot(seg, nbpad), None
+
+        counts, _ = jax.lax.scan(
+            block, counts, jnp.arange(nblk) * (C // nblk)
+        )
+        return counts, None
+
+    zero = jnp.zeros(nbpad, jnp.int32)
+    if autocorr:
+        # both bin coordinates are symmetric under pair exchange (rp/s and
+        # |dz|), so evaluate only the 13 lexicographically-positive offsets
+        # and double; the center offset (13) counts both directions itself
+        center, _ = one_offset(zero, jnp.int32(13))
+        half, _ = jax.lax.scan(one_offset, zero, jnp.arange(14, 27))
+        counts = center + 2 * half
+    else:
+        counts, _ = jax.lax.scan(one_offset, zero, jnp.arange(27))
+    return counts[:nb]
+
+
+_CELL_MIN_N = 100_000  # below this the O(N^2) tiled kernel wins on latency
+
+
+def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
+                      method=None):
+    """Cell-list dispatch; returns None when cell decomposition doesn't apply
+    (box too small relative to rmax, or N too small to matter). method:
+    None = auto, 'cell' forces the cell path, 'tile' disables it."""
+    n1 = len(pos1)
+    autocorr = pos2 is None
+    nc = int(lbox // rmax)
+    if nc < 3 or method == 'tile' or (method != 'cell' and n1 < _CELL_MIN_N):
+        return None
+    nc = min(nc, 128)
+    plan1 = _CellPlan(pos1, lbox, nc)
+    g1 = plan1.gathered(pos1, lbox)
+    if autocorr:
+        g2 = g1
+    else:
+        g2 = _CellPlan(pos2, lbox, nc).gathered(pos2, lbox)
+    C = nc**3
+    K1, K2 = g1[0].shape[1], g2[0].shape[1]
+    # bound each block's (cells, K1, K2) pair tensor to ~2M elements so the
+    # histogram compare-reduce stays cache/VMEM sized
+    cb = max(1, 2_000_000 // (K1 * K2))
+    nblk = -(-C // cb)
+    Cp = nblk * cb
+    nbr = _neighbor_map(nc)
+    if Cp > C:  # pad with empty cells (sentinel coords exclude their pairs)
+        pad = Cp - C
+        nbr = np.concatenate([nbr, np.zeros((pad, 27), np.int32)])
+        g1 = [
+            jnp.concatenate([a, jnp.full((pad, a.shape[1]), _pad_val(a), a.dtype)])
+            for a in g1
+        ]
+    counts = _cell_counts(
+        tuple(g1), tuple(g2), jnp.asarray(nbr),
+        jnp.asarray(edges2), float(aux), float(lbox), mode, nb1, nb2,
+        autocorr, nblk,
+    )
+    return np.asarray(counts, np.int64).reshape(nb1, nb2)
+
+
+def _pad_val(a):
+    return jnp.inf if jnp.issubdtype(a.dtype, jnp.floating) else jnp.int32(2**30)
+
+
+def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None, method=None):
     """Ordered pair counts in (rp, unit-pi) bins on a periodic box.
 
     Returns (nrp, int(pimax)) int64 array. Each unordered pair counts twice
@@ -125,6 +295,13 @@ def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None):
     rpbins = np.asarray(rpbins)
     nrp = len(rpbins) - 1
     npi = int(pimax)
+    cell = _cell_pair_counts(
+        pos1, pos2, lbox, max(float(rpbins[-1]), float(pimax)),
+        rpbins.astype(np.float64) ** 2, pimax, 'rppi', nrp, npi,
+        method=method,
+    )
+    if cell is not None:
+        return cell
     p1, ntile = _pad_tiles(pos1)
     counts = _count_rppi(
         jnp.asarray(p1),
@@ -140,13 +317,20 @@ def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None):
     return np.asarray(counts, np.int64).reshape(nrp, npi)
 
 
-def pair_counts_smu(pos1, sbins, nbins_mu, lbox, pos2=None):
+def pair_counts_smu(pos1, sbins, nbins_mu, lbox, pos2=None, method=None):
     """Ordered pair counts in (s, mu) bins on a periodic box."""
     pos1 = np.asarray(pos1, np.float64)
     autocorr = pos2 is None
     pos2a = pos1 if autocorr else np.asarray(pos2, np.float64)
     sbins = np.asarray(sbins)
     ns = len(sbins) - 1
+    cell = _cell_pair_counts(
+        pos1, pos2, lbox, float(sbins[-1]),
+        sbins.astype(np.float64) ** 2, nbins_mu, 'smu', ns, int(nbins_mu),
+        method=method,
+    )
+    if cell is not None:
+        return cell
     p1, ntile = _pad_tiles(pos1)
     counts = _count_smu(
         jnp.asarray(p1),
