@@ -35,17 +35,25 @@ def _points(n, rng, clustered=True):
     )
 
 
-def _brute_rppi(pos, pos2=None):
+def _kdt():
+    """dtype the device kernels compute in (x64 flag is flipped by other
+    test modules; the tiled engine follows it, the cell engine is f32)."""
+    import jax
+
+    return np.float64 if jax.config.x64_enabled else np.float32
+
+
+def _brute_rppi(pos, pos2=None, dt=np.float32):
     auto = pos2 is None
-    p1 = np.mod(pos, LBOX).astype(np.float32)
-    p2 = p1 if auto else np.mod(pos2, LBOX).astype(np.float32)
+    p1 = np.mod(pos, LBOX).astype(dt)
+    p2 = p1 if auto else np.mod(pos2, LBOX).astype(dt)
     d = p1[:, None, :] - p2[None, :, :]
-    d = (d - np.float32(LBOX) * np.round(d / np.float32(LBOX))).astype(np.float32)
+    d = (d - dt(LBOX) * np.round(d / dt(LBOX))).astype(dt)
     rp2 = d[..., 0] ** 2 + d[..., 1] ** 2
     adz = np.abs(d[..., 2])
     brp = np.searchsorted(RPBINS**2, rp2.ravel(), side='right') - 1
     bpi = np.floor(adz).astype(int).ravel()
-    ok = (brp >= 0) & (brp < len(RPBINS) - 1) & (adz.ravel() < np.float32(PIMAX))
+    ok = (brp >= 0) & (brp < len(RPBINS) - 1) & (adz.ravel() < PIMAX)
     if auto:
         n = len(p1)
         ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing='ij')
@@ -56,16 +64,16 @@ def _brute_rppi(pos, pos2=None):
     return h.reshape(len(RPBINS) - 1, PIMAX)
 
 
-def _brute_smu(pos):
-    p1 = np.mod(pos, LBOX).astype(np.float32)
+def _brute_smu(pos, dt=np.float32):
+    p1 = np.mod(pos, LBOX).astype(dt)
     d = p1[:, None, :] - p1[None, :, :]
-    d = (d - np.float32(LBOX) * np.round(d / np.float32(LBOX))).astype(np.float32)
+    d = (d - dt(LBOX) * np.round(d / dt(LBOX))).astype(dt)
     s2 = (d**2).sum(-1)
     s = np.sqrt(s2)
     adz = np.abs(d[..., 2])
     mu = np.divide(adz, s, out=np.zeros_like(s), where=s > 0)
     bs = np.searchsorted(SBINS**2, s2.ravel(), side='right') - 1
-    bmu = np.minimum((mu.ravel() * np.float32(NMU)).astype(int), NMU - 1)
+    bmu = np.minimum((mu.ravel() * dt(NMU)).astype(int), NMU - 1)
     ok = (bs >= 0) & (bs < len(SBINS) - 1)
     n = len(p1)
     ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing='ij')
@@ -80,7 +88,8 @@ def test_rppi_auto_vs_brute(method):
     rng = np.random.default_rng(2)
     pos = _points(4000, rng)
     got = pair_counts_rppi(pos, RPBINS, PIMAX, LBOX, method=method)
-    npt.assert_array_equal(got, _brute_rppi(pos))
+    dt = np.float32 if method == 'cell' else _kdt()
+    npt.assert_array_equal(got, _brute_rppi(pos, dt=dt))
 
 
 @pytest.mark.parametrize('method', ['tile', 'cell'])
@@ -89,7 +98,8 @@ def test_rppi_cross_vs_brute(method):
     pos = _points(4000, rng)
     pos2 = rng.random((3000, 3)) * LBOX
     got = pair_counts_rppi(pos, RPBINS, PIMAX, LBOX, pos2=pos2, method=method)
-    npt.assert_array_equal(got, _brute_rppi(pos, pos2))
+    dt = np.float32 if method == 'cell' else _kdt()
+    npt.assert_array_equal(got, _brute_rppi(pos, pos2, dt=dt))
 
 
 @pytest.mark.parametrize('method', ['tile', 'cell'])
@@ -97,7 +107,8 @@ def test_smu_auto_vs_brute(method):
     rng = np.random.default_rng(4)
     pos = _points(4000, rng)
     got = pair_counts_smu(pos, SBINS, NMU, LBOX, method=method)
-    npt.assert_array_equal(got, _brute_smu(pos))
+    dt = np.float32 if method == 'cell' else _kdt()
+    npt.assert_array_equal(got, _brute_smu(pos, dt=dt))
 
 
 def test_wrappers_consistent():
