@@ -70,6 +70,48 @@ def filter_field(delta_k, n1d, L, kcut, dtype=np.float32):
     return jnp.asarray(delta_k) * jnp.exp(-k2 / jnp.float32(2.0 * kcut**2))
 
 
+def get_n2_fft(delta_k, n1d, L, dtype=np.float32):
+    """-k^2 delta_k in Fourier space (reference ic_fields.py:152-189)."""
+    kv, kz = _kvec(n1d, L)
+    k2 = kv[:, None, None] ** 2 + kv[None, :, None] ** 2 + kz[None, None, :] ** 2
+    return np.asarray(-k2 * jnp.asarray(delta_k), np.complex64)
+
+
+def get_sij_fft(i_comp, j_comp, delta_k, n1d, L, dtype=np.float32):
+    """(k_i k_j / k^2 - delta_ij/3) delta_k (reference ic_fields.py:193-255)."""
+    kv, kz = _kvec(n1d, L)
+    ks = (kv[:, None, None], kv[None, :, None], kz[None, None, :])
+    k2 = ks[0] ** 2 + ks[1] ** 2 + ks[2] ** 2
+    inv_k2 = jnp.where(k2 > 0, 1.0 / k2, 0.0)
+    sij = jnp.asarray(delta_k) * (ks[i_comp] * ks[j_comp] * inv_k2)
+    if i_comp == j_comp:
+        sij = sij - jnp.asarray(delta_k) * jnp.float32(1.0 / 3.0)
+    return np.asarray(sij, np.complex64)
+
+
+def add_ij(final_field, field_to_add, n1d, factor=1.0, dtype=np.float32):
+    """final_field += factor * field_to_add^2 (reference ic_fields.py:259-268)."""
+    final_field += dtype(factor) * np.asarray(field_to_add) ** 2
+    return final_field
+
+
+def get_dk_to_s2(delta_k, nmesh, lbox):
+    """Square tidal field s^2 = s_ij s^ij from the density FFT (reference
+    ic_fields.py:271-309; NOT mean-subtracted, matching the reference)."""
+    jvec = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    tidesq = np.zeros((nmesh, nmesh, nmesh), np.float32)
+    for i, j in jvec:
+        factor = 1.0 if i == j else 2.0
+        sij = np.fft.irfftn(get_sij_fft(i, j, delta_k, nmesh, lbox))
+        add_ij(tidesq, sij, nmesh, factor)
+    return tidesq
+
+
+def get_dk_to_n2(delta_k, nmesh, lbox):
+    """nabla^2 delta = IFFT(-k^2 delta_k) (reference ic_fields.py:312-333)."""
+    return np.fft.irfftn(get_n2_fft(delta_k, nmesh, lbox)).astype(np.float32)
+
+
 @partial(jax.jit, static_argnames=('nmesh',))
 def _fields_jit(delta_lin, nmesh, lbox):
     """delta, delta^2, s^2, nabla^2 delta from the linear density."""

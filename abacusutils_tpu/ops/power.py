@@ -74,6 +74,35 @@ def _P_n(mu2, n):
     return tot
 
 
+def P_n(x, n, dtype=np.float32):
+    """Legendre polynomial P_n of a SQUARED variable x = mu^2 (the reference's
+    convention, power_spectrum.py:122-147)."""
+    return np.asarray(_P_n(jnp.asarray(x, dtype), int(n)), dtype)
+
+
+def linear_interp(xd, x, y):
+    """Linear interpolation on an equidistant monotonic grid, clamped to the
+    endpoint values (reference power_spectrum.py:508-536)."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    f = np.clip((np.asarray(xd) - x[0]) / (x[1] - x[0]), 0.0, len(x) - 1.000001)
+    fl = np.floor(f).astype(np.int64)
+    out = y[fl] + (f - fl) * (y[fl + 1] - y[fl])
+    return np.where(xd <= x[0], y[0], np.where(xd >= x[-1], y[-1], out))
+
+
+def shift_field_fft(field_fft, field_shift_fft, n1d, L, d, dtype=np.float32):
+    """Interlaced Fourier field (F + F_shift e^{ik.d/2})/(2 N^3) (reference
+    shift_field_fft power_spectrum.py:904-948)."""
+    return np.asarray(
+        _interlace_combine(
+            jnp.asarray(field_fft), jnp.asarray(field_shift_fft),
+            int(n1d), float(L), float(d),
+        ),
+        np.complex64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mode geometry for the rfft layout
 # ---------------------------------------------------------------------------

@@ -19,7 +19,75 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['smooth_density', 'get_shear', 'smooth_density_periodic']
+__all__ = [
+    'smooth_density',
+    'get_shear',
+    'smooth_density_periodic',
+    'Wth',
+    'Wg',
+    'get_tidal',
+    'get_shear_nb',
+]
+
+
+def Wth(ksq, r):
+    """Tophat window W(kR) = 3 (sin kR - kR cos kR) / (kR)^3 for squared k
+    (reference shear.py:26-31)."""
+    k = np.sqrt(ksq)
+    kr = k * r
+    return 3 * (np.sin(kr) - kr * np.cos(kr)) / kr**3
+
+
+def Wg(k2, r):
+    """Gaussian window exp(-k^2 r^2 / 2) for squared k (reference shear.py:34-36)."""
+    return np.exp(-k2 * r * r / 2.0)
+
+
+def get_tidal(dfour, karr, N_dim, R=None, dtype=np.float32):
+    """Fourier tidal tensor components k_i k_j delta(k)/k^2, component order
+    (xx, xy, xz, yy, yz, zz), keeping the reference's a*b*c == 0 mode skip
+    and optional tophat smoothing (reference get_tidal shear.py:39-66).
+    Returns (N, N, N//2+1, 6) complex64."""
+    dfour = jnp.asarray(dfour)
+    karr = jnp.asarray(karr, dtype)
+    kzlen = N_dim // 2 + 1
+    ka = karr[:, None, None]
+    kb = karr[None, :, None]
+    kc = karr[:kzlen][None, None, :]
+    ksq = (ka**2 + kb**2 + kc**2).astype(dtype)
+    nz = (ka != 0) & (kb != 0) & (kc != 0)
+    dok2 = jnp.where(nz, dfour / jnp.where(ksq == 0, 1.0, ksq), 0.0)
+    if R is not None:
+        k = jnp.sqrt(ksq)
+        kr = jnp.where(k > 0, k * R, 1.0)
+        wth = jnp.where(k > 0, 3 * (jnp.sin(kr) - kr * jnp.cos(kr)) / kr**3, 1.0)
+        dok2 = dok2 * wth
+    comps = jnp.stack(
+        [
+            ka * ka * dok2,
+            ka * kb * dok2,
+            ka * kc * dok2,
+            kb * kb * dok2,
+            kb * kc * dok2,
+            kc * kc * dok2,
+        ]
+    )
+    return np.asarray(jnp.moveaxis(comps, 0, -1), np.complex64)
+
+
+def get_shear_nb(tidr, N_dim):
+    """Shear invariant from real-space tidal components (xx, xy, xz, yy, yz,
+    zz): sqrt(0.5 sum_{i<j} (l_i - l_j)^2), computed eigenvalue-free as the
+    symmetric polynomial (3 tr(T^2) - tr(T)^2)/2 (reference get_shear_nb
+    shear.py:69-93)."""
+    txx, txy, txz, tyy, tyz, tzz = np.moveaxis(np.asarray(tidr), -1, 0)
+    tr = txx + tyy + tzz
+    tr2 = (
+        txx * txx + tyy * tyy + tzz * tzz
+        + 2 * (txy * txy + txz * txz + tyz * tyz)
+    )
+    q2 = 0.5 * (3 * tr2 - tr * tr)
+    return np.sqrt(np.maximum(q2, 0.0)).astype(np.float32)
 
 
 def smooth_density(D, R, N_dim, Lbox):
