@@ -26,6 +26,9 @@ __all__ = [
     'hod_pk_fused_planned',
     'hod_pk_fused_pallas',
     'populate_weights',
+    'populate_weights_multi',
+    'hod_pk_fused_multi',
+    'group_inputs_linked',
     'make_example_inputs',
     'group_inputs',
     'group_inputs2d',
@@ -275,6 +278,154 @@ def hod_pk_fused_planned(
     perm, bounds, dup_sorted = binplan
     wsum = _segsum_sorted(p3d.reshape(-1)[perm] * dup_sorted, bounds)
     return wsum, n_gal
+
+
+def group_inputs_linked(halo, part, nmesh, lbox, chunk=8192):
+    """group_inputs for both catalogs plus the satellite->host link: adds
+    part_g['hkeep_at'], the position of each particle's host halo in the
+    grouped halo layout (needed for ELG conformity in the multi-tracer
+    pipeline). `part['hidx']` must hold original host-halo indices."""
+    import numpy as np
+
+    from ..ops.grid import build_paint_plan
+
+    halo_g, K_h = group_inputs(halo, nmesh, lbox, chunk=chunk)
+    part = dict(part)
+    hidx = np.asarray(part.pop('hidx'), np.int64)
+    part_g, K_p = group_inputs(part, nmesh, lbox, chunk=chunk)
+
+    # inverse permutation of the halo grouping (sentinel row n_halo -> slot 0,
+    # harmless: padded particles populate nothing anyway)
+    plan_h = build_paint_plan(np.asarray(halo['x']) + lbox / 2, nmesh, lbox, chunk=chunk)
+    pad_idx = np.asarray(plan_h.pad_idx).ravel()
+    n_halo = len(np.asarray(halo['x']))
+    flat_pos = np.zeros(n_halo + 1, np.int32)
+    flat_pos[pad_idx] = np.arange(pad_idx.size, dtype=np.int32)
+
+    plan_p = build_paint_plan(np.asarray(part['x']) + lbox / 2, nmesh, lbox, chunk=chunk)
+    idx_p = np.asarray(plan_p.pad_idx).ravel()
+    hidx_ext = np.concatenate([hidx, [n_halo]])
+    part_g['hkeep_at'] = flat_pos[hidx_ext[idx_p]]
+    return halo_g, part_g, K_h, K_p
+
+
+def populate_weights_multi(halo, part, params, want, rsd, inv_velz2kms):
+    """Multi-tracer populate pass (SoA): priority keep codes over stacked
+    markers (one random per object, reference gen_cent GRAND_HOD.py:213-252 /
+    gen_sats :948-1095) and per-tracer RSD z. `params` maps tracer ->
+    param dict (prepare_tracer_params defaults); satellites see their host's
+    central keep code through part['hkeep_at'] (index into the halo layout)
+    for ELG conformity. Returns {tracer: (z_c, w_c, z_s, w_s)} and the
+    central keep codes."""
+    from ..models.hod.population import TRACER_ORDER, _cent_marker, _sat_base
+
+    marker = jnp.zeros_like(halo['mass'])
+    keep_c = jnp.zeros(halo['mass'].shape, jnp.int8)
+    for code, tracer in enumerate(TRACER_ORDER, 1):
+        if tracer not in want:
+            continue
+        m = _cent_marker(
+            tracer, params[tracer], halo['mass'], halo['deltac'], halo['fenv'],
+            halo.get('shear', 0.0),
+        )
+        marker = marker + m * halo['multis']
+        keep_c = jnp.where(
+            (keep_c == 0) & (halo['randoms'] <= marker), jnp.int8(code), keep_c
+        )
+
+    keep_cent_p = keep_c.reshape(-1)[part['hkeep_at']]
+    marker = jnp.zeros_like(part['hmass'])
+    keep_s = jnp.zeros(part['hmass'].shape, jnp.int8)
+    for code, tracer in enumerate(TRACER_ORDER, 1):
+        if tracer not in want:
+            continue
+        p = params[tracer]
+        base = _sat_base(
+            tracer, p, part['hmass'], part['deltac'], part['fenv'],
+            part.get('shear', 0.0), keep_cent_p,
+        )
+        marker = marker + base * part['weights'] * p['ic']
+        keep_s = jnp.where(
+            (keep_s == 0) & (part['randoms'] <= marker), jnp.int8(code), keep_s
+        )
+
+    out = {}
+    for code, tracer in enumerate(TRACER_ORDER, 1):
+        if tracer not in want:
+            continue
+        p = params[tracer]
+        vz_c = halo['vz'] + p['alpha_c'] * halo['vdevz']
+        z_c = halo['z'] + (vz_c * inv_velz2kms if rsd else 0.0)
+        w_c = (keep_c == code).astype(jnp.float32)
+        vz_s = part['hvelz'] + p['alpha_s'] * (part['vz'] - part['hvelz'])
+        z_s = part['z'] + (vz_s * inv_velz2kms if rsd else 0.0)
+        w_s = (keep_s == code).astype(jnp.float32)
+        out[tracer] = (z_c, w_c, z_s, w_s)
+    return out, keep_c
+
+
+@partial(
+    jax.jit,
+    static_argnames=('want', 'nmesh', 'nbins_k', 'K_h', 'K_p', 'rsd', 'chunk'),
+)
+def hod_pk_fused_multi(
+    halo_g, part_g, params, binplan, Wcomp, lbox, velz2kms,
+    want, nmesh, nbins_k, K_h, K_p, rsd=True, chunk=8192,
+):
+    """Multi-tracer fused populate + paint + FFT + P(k): one device program
+    producing all tracer auto- AND cross-spectra (the fused counterpart of
+    AbacusHOD.compute_power's tracer-pair loop, abacus_hod.py:1338-1472).
+
+    Returns ({(t1, t2): wsum}, {tracer: n_gal}); divide wsum by the bin-plan
+    counts on the host."""
+    from ..ops.grid import paint_grouped
+
+    inv_velz2kms = 1.0 / velz2kms
+    tr, _ = populate_weights_multi(halo_g, part_g, params, want, rsd, inv_velz2kms)
+
+    half_l = jnp.float32(lbox) / 2
+    perm, bounds, dup_sorted = binplan
+    deltas = {}
+    n_gal = {}
+    for tracer in want:
+        z_c, w_c, z_s, w_s = tr[tracer]
+        ng = w_c.sum() + w_s.sum()
+        grid = jnp.zeros((nmesh, nmesh, nmesh), jnp.float32)
+        grid = paint_grouped(
+            grid,
+            (halo_g['x'] + half_l).reshape(nmesh, K_h),
+            (halo_g['y'] + half_l).reshape(nmesh, K_h),
+            (z_c + half_l).reshape(nmesh, K_h),
+            w_c.reshape(nmesh, K_h),
+            lbox, 0.0, nmesh, K_h, chunk, False,
+        )
+        grid = paint_grouped(
+            grid,
+            (part_g['x'] + half_l).reshape(nmesh, K_p),
+            (part_g['y'] + half_l).reshape(nmesh, K_p),
+            (z_s + half_l).reshape(nmesh, K_p),
+            w_s.reshape(nmesh, K_p),
+            lbox, 0.0, nmesh, K_p, chunk, False,
+        )
+        delta = grid * (grid.size / ng) - 1.0
+        delta_k = jnp.fft.rfftn(delta) * jnp.float32(1.0 / grid.size)
+        if Wcomp is not None:
+            delta_k = delta_k / (
+                Wcomp[:, None, None]
+                * Wcomp[None, :, None]
+                * Wcomp[None, None, : nmesh // 2 + 1]
+            )
+        deltas[tracer] = delta_k
+        n_gal[tracer] = ng
+
+    spectra = {}
+    for i, t1 in enumerate(want):
+        for t2 in want[i:]:
+            p3d = (deltas[t1] * jnp.conj(deltas[t2])).real
+            spectra[(t1, t2)] = _segsum_sorted(
+                p3d.reshape(-1)[perm] * dup_sorted, bounds
+            )
+    return spectra, n_gal
 
 
 def make_example_inputs(n_halo, n_part, lbox, seed=0):
