@@ -277,7 +277,19 @@ class ChunkedBloscDecoder:
         return len(out)
 
     def compress(self, data, typesize, clevel=1, shuffle=True, chunk_nbytes=1 << 22):
-        """Compress ndarray/bytes into the framed stream (4 MB chunks)."""
+        """Compress ndarray/bytes into the framed stream (4 MB chunks).
+
+        Dispatches to the native C++ path (threaded zstd + shuffle) when
+        available; the formats are interchangeable."""
+        if shuffle:
+            from .native import compress_blosc_stream_native
+
+            out = compress_blosc_stream_native(
+                data, typesize, clevel=clevel, chunk_nbytes=chunk_nbytes,
+                nthreads=self.nthreads,
+            )
+            if out is not None:
+                return out
         data = np.frombuffer(memoryview(data).cast('B'), dtype=np.uint8)
         parts = []
         for i in range(0, max(len(data), 1), chunk_nbytes):

@@ -138,9 +138,137 @@ int decompress_chunk(const uint8_t* chunk, size_t chunk_len, uint8_t* out,
     return 0;
 }
 
+void shuffle(const uint8_t* in, uint8_t* out, size_t n, size_t typesize) {
+    const size_t nel = n / typesize;
+    const size_t body = nel * typesize;
+    for (size_t b = 0; b < typesize; ++b) {
+        const uint8_t* src = in + b;
+        uint8_t* dst = out + b * nel;
+        for (size_t e = 0; e < nel; ++e) dst[e] = src[e * typesize];
+    }
+    std::memcpy(out + body, in + body, n - body);
+}
+
+// Compress one chunk into the blosc1 container written by the Python path
+// (zstd + byte-shuffle + dont_split; see abacusutils_tpu/io/blosc.py
+// compress_chunk). Returns the chunk size, or a negative error.
+int64_t compress_chunk(const uint8_t* data, size_t nbytes, size_t typesize,
+                       int clevel, size_t blocksize, uint8_t* out,
+                       size_t out_cap) {
+    constexpr uint8_t kDontSplit = 0x10;
+    if (typesize < 1 || typesize > 255) typesize = 1;
+    const bool shuf = typesize > 1;
+    // keep blocks a multiple of typesize so shuffle never straddles blocks
+    blocksize = std::max(typesize, blocksize - blocksize % typesize);
+    const size_t nblocks =
+        std::max<size_t>(1, (nbytes + blocksize - 1) / blocksize);
+
+    if (out_cap < 16 + 4 * nblocks) return -1;
+    uint8_t* hdr = out;
+    hdr[0] = 2;  // format version
+    hdr[1] = 1;
+    hdr[2] = uint8_t(kDontSplit | (kFmtZstd << 5) | (shuf ? kDoShuffle : 0));
+    hdr[3] = uint8_t(typesize);
+
+    std::vector<uint8_t> scratch(shuf ? blocksize : 0);
+    size_t pos = 16 + 4 * nblocks;
+    for (size_t i = 0; i < nblocks; ++i) {
+        const size_t ne = std::min(blocksize, nbytes - i * blocksize);
+        const uint8_t* src = data + i * blocksize;
+        if (shuf) {
+            shuffle(src, scratch.data(), ne, typesize);
+            src = scratch.data();
+        }
+        // offset of this block (from chunk start)
+        uint32_t off32 = uint32_t(pos);
+        std::memcpy(out + 16 + 4 * i, &off32, 4);
+        if (pos + 4 + ZSTD_compressBound(ne) > out_cap) return -2;
+        const size_t cb =
+            ZSTD_compress(out + pos + 4, out_cap - pos - 4, src, ne, clevel);
+        if (ZSTD_isError(cb)) return -3;
+        int32_t len32;
+        if (cb >= ne) {  // store raw; detected at decode via cb == ne
+            std::memcpy(out + pos + 4, src, ne);
+            len32 = int32_t(ne);
+        } else {
+            len32 = int32_t(cb);
+        }
+        std::memcpy(out + pos, &len32, 4);
+        pos += 4 + size_t(len32);
+    }
+    uint32_t nb32 = uint32_t(nbytes), bs32 = uint32_t(blocksize),
+             cb32 = uint32_t(pos);
+    std::memcpy(hdr + 4, &nb32, 4);
+    std::memcpy(hdr + 8, &bs32, 4);
+    std::memcpy(hdr + 12, &cb32, 4);
+    return int64_t(pos);
+}
+
 }  // namespace
 
 extern "C" {
+
+// Compress `data` into the framed stream ([4-byte BE length][blosc chunk]*),
+// splitting into `chunk_nbytes` pieces compressed in parallel. Returns the
+// number of bytes written to `out`, or a negative error. `out_cap` must be
+// at least abacus_compress_bound(data_len, chunk_nbytes).
+int64_t abacus_compress_blosc_stream(const uint8_t* data, int64_t data_len,
+                                     int32_t typesize, int clevel,
+                                     int64_t chunk_nbytes, uint8_t* out,
+                                     int64_t out_cap, int nthreads) {
+    const size_t cn = size_t(chunk_nbytes);
+    const size_t nchunks =
+        std::max<size_t>(1, (size_t(data_len) + cn - 1) / cn);
+    // each chunk writes into its own bounded slot, then slots are packed
+    constexpr size_t kBlock = 1 << 19;
+    const size_t slot = 16 + 4 * (cn / kBlock + 2) +
+                        (cn / kBlock + 2) * (4 + ZSTD_compressBound(kBlock));
+    std::vector<std::vector<uint8_t>> slots(nchunks);
+    std::vector<int64_t> sizes(nchunks, 0);
+
+    std::atomic<size_t> next{0};
+    std::atomic<int> err{0};
+    auto worker = [&]() {
+        for (;;) {
+            const size_t i = next.fetch_add(1);
+            if (i >= nchunks || err.load()) return;
+            const size_t off = i * cn;
+            const size_t ne = std::min(cn, size_t(data_len) - off);
+            slots[i].resize(slot);
+            const int64_t rc =
+                compress_chunk(data + off, ne, size_t(typesize), clevel,
+                               kBlock, slots[i].data(), slot);
+            if (rc < 0) {
+                err.store(int(rc));
+                return;
+            }
+            sizes[i] = rc;
+        }
+    };
+    const int nt = std::max(1, std::min<int>(nthreads, int(nchunks)));
+    if (nt == 1) {
+        worker();
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve(nt);
+        for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+    }
+    if (err.load()) return err.load();
+
+    size_t pos = 0;
+    for (size_t i = 0; i < nchunks; ++i) {
+        if (pos + 4 + size_t(sizes[i]) > size_t(out_cap)) return -4;
+        const uint32_t len = uint32_t(sizes[i]);
+        out[pos] = uint8_t(len >> 24);
+        out[pos + 1] = uint8_t(len >> 16);
+        out[pos + 2] = uint8_t(len >> 8);
+        out[pos + 3] = uint8_t(len);
+        std::memcpy(out + pos + 4, slots[i].data(), sizes[i]);
+        pos += 4 + size_t(sizes[i]);
+    }
+    return int64_t(pos);
+}
 
 // Decode a framed stream of blosc chunks into `out`. Returns 0 on success.
 int abacus_decode_blosc_stream(const uint8_t* buf, int64_t buf_len,

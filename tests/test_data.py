@@ -278,3 +278,30 @@ def test_cleaning_layouts(testdata, layout_dir):
         fields='N',
         cleaned=True,
     )
+
+
+def test_native_compress_roundtrip():
+    """Native C++ compressor output decodes identically through both the
+    native and pure-Python decoders (formats interchangeable)."""
+    import numpy as np
+
+    from abacusutils_tpu.io.blosc import ChunkedBloscDecoder, decompress_chunk
+    from abacusutils_tpu.io.native import compress_blosc_stream_native
+
+    rng = np.random.default_rng(3)
+    raw = np.cumsum(rng.normal(0, 1, 300_000)).astype(np.float32).tobytes()
+    comp = compress_blosc_stream_native(raw, 4, clevel=1, nthreads=2)
+    if comp is None:  # native lib unavailable in this environment
+        import pytest
+
+        pytest.skip('native IO library not built')
+    out = np.empty(len(raw), np.uint8)
+    ChunkedBloscDecoder(nthreads=2).decompress(comp, out)
+    assert out.tobytes() == raw
+    # pure-python chunk decoder on the native chunk
+    import struct
+
+    (size,) = struct.unpack_from('!I', comp, 0)
+    chunk = comp[4 : 4 + size]
+    nb = struct.unpack_from('<I', chunk, 4)[0]
+    assert decompress_chunk(chunk).tobytes() == raw[:nb]
