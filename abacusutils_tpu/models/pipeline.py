@@ -195,8 +195,10 @@ def hod_pk_fused_pallas(
     nmesh, yb, nbins_k, K_h, K_p, rsd=True, chunk=512,
 ):
     """Populate + paint + FFT + P(k) with the Pallas fused deposit kernel
-    (ops.grid_pallas): stencils built in VMEM, y one-hot only 3*(yb+2) wide —
-    ~4x faster than the XLA-planned paint at base-box scale."""
+    (ops.grid_pallas): stencils built in VMEM, y one-hot only 3*(yb+2) wide.
+    Both deposit formulations are one-hot-construction bound on current TPUs;
+    measured at base-box scale the XLA planned paint (hod_pk_fused_planned,
+    chunk=8192) is ~15% faster end-to-end, so the bench uses that path."""
     from ..ops.grid_pallas import _fold_blocks, _paint2d_blocks
 
     inv_velz2kms = 1.0 / velz2kms
