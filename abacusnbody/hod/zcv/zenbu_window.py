@@ -1,0 +1,3 @@
+"""Compat alias for abacusnbody.hod.zcv.zenbu_window."""
+
+from abacusutils_tpu.models.zcv.zenbu_window import *  # noqa: F401,F403
