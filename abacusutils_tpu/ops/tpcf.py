@@ -139,6 +139,7 @@ class _CellPlan:
         pad_idx = np.full((C, K), n, np.int64)
         pad_idx[key[order], within] = order
         self.nc, self.K, self.pad_idx = nc, K, pad_idx
+        self.counts = counts
 
     def gathered(self, pos, lbox):
         """(C, K) x/y/z arrays (inf sentinel in padded slots) + global index."""
@@ -256,27 +257,58 @@ def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
         g2 = g1
     else:
         g2 = _CellPlan(pos2, lbox, nc).gathered(pos2, lbox)
-    C = nc**3
     K1, K2 = g1[0].shape[1], g2[0].shape[1]
-    # bound each block's (cells, K1, K2) pair tensor to ~2M elements so the
-    # histogram compare-reduce stays cache/VMEM sized
-    cb = max(1, 2_000_000 // (K1 * K2))
-    nblk = -(-C // cb)
-    Cp = nblk * cb
-    nbr = _neighbor_map(nc)
-    if Cp > C:  # pad with empty cells (sentinel coords exclude their pairs)
-        pad = Cp - C
-        nbr = np.concatenate([nbr, np.zeros((pad, 27), np.int32)])
-        g1 = [
-            jnp.concatenate([a, jnp.full((pad, a.shape[1]), _pad_val(a), a.dtype)])
-            for a in g1
-        ]
-    counts = _cell_counts(
-        tuple(g1), tuple(g2), jnp.asarray(nbr),
-        jnp.asarray(edges2), float(aux), float(lbox), mode, nb1, nb2,
-        autocorr, nblk,
-    )
-    return np.asarray(counts, np.int64).reshape(nb1, nb2)
+    nbr_full = _neighbor_map(nc)
+
+    # Row-side occupancy classes: each cell is padded only to the smallest
+    # power-of-two-ish capacity covering its count, instead of the global max
+    # (K = max occupancy would evaluate (K/avg)^2 more candidate pairs). Each
+    # cell sits in exactly one class, so the 13-offset autocorr symmetry in
+    # _cell_counts still sees every unordered cell pair exactly once.
+    occ = plan1.counts
+    caps = []
+    cap = 8
+    while cap < K1:
+        caps.append(cap)
+        cap *= 4
+    caps.append(K1)
+
+    total = None
+    prev = -1
+    edges2_j = jnp.asarray(edges2)
+    for cap in caps:
+        cells = np.flatnonzero((occ > prev) & (occ <= cap))
+        prev = cap
+        if not len(cells):
+            continue
+        rows = jnp.asarray(cells)
+        g1c = [a[rows][:, :cap] for a in g1]
+        nbr = nbr_full[cells]
+        Cc = len(cells)
+        # bound each block's (cells, cap, K2) pair tensor to ~2M elements so
+        # the histogram compare-reduce stays cache/VMEM sized
+        cb = max(1, 2_000_000 // (cap * K2))
+        nblk = -(-Cc // cb)
+        Cp = nblk * cb
+        if Cp > Cc:  # pad with empty cells (sentinel coords have no pairs)
+            pad = Cp - Cc
+            nbr = np.concatenate([nbr, np.zeros((pad, 27), np.int32)])
+            g1c = [
+                jnp.concatenate(
+                    [a, jnp.full((pad, a.shape[1]), _pad_val(a), a.dtype)]
+                )
+                for a in g1c
+            ]
+        counts = np.asarray(
+            _cell_counts(
+                tuple(g1c), tuple(g2), jnp.asarray(nbr),
+                edges2_j, float(aux), float(lbox), mode, nb1, nb2,
+                autocorr, nblk,
+            ),
+            np.int64,
+        )
+        total = counts if total is None else total + counts
+    return total.reshape(nb1, nb2)
 
 
 def _pad_val(a):
