@@ -188,11 +188,14 @@ def group_inputs2d(cat, nmesh, lbox, yb=16, chunk=512):
 
 @partial(
     jax.jit,
-    static_argnames=('lbox', 'nmesh', 'yb', 'nbins_k', 'K_h', 'K_p', 'rsd', 'chunk'),
+    static_argnames=(
+        'lbox', 'nmesh', 'yb', 'nbins_k', 'K_h', 'K_p', 'rsd', 'chunk',
+        'interpret',
+    ),
 )
 def hod_pk_fused_pallas(
     halo_g, part_g, params, binplan, Wcomp, lbox, velz2kms,
-    nmesh, yb, nbins_k, K_h, K_p, rsd=True, chunk=512,
+    nmesh, yb, nbins_k, K_h, K_p, rsd=True, chunk=512, interpret=False,
 ):
     """Populate + paint + FFT + P(k) with the Pallas fused deposit kernel
     (ops.grid_pallas): stencils built in VMEM, y one-hot only 3*(yb+2) wide.
@@ -212,14 +215,14 @@ def hod_pk_fused_pallas(
         (halo_g['y'] + half_l).reshape(ncell, K_h),
         (z_c + half_l).reshape(ncell, K_h),
         keep_c.reshape(ncell, K_h),
-        lbox, 0.0, nmesh, yb, K_h, chunk,
+        lbox, 0.0, nmesh, yb, K_h, chunk, interpret=interpret,
     )
     blocks = blocks + _paint2d_blocks(
         (part_g['x'] + half_l).reshape(ncell, K_p),
         (part_g['y'] + half_l).reshape(ncell, K_p),
         (z_s + half_l).reshape(ncell, K_p),
         keep_s.reshape(ncell, K_p),
-        lbox, 0.0, nmesh, yb, K_p, chunk,
+        lbox, 0.0, nmesh, yb, K_p, chunk, interpret=interpret,
     )
     grid = _fold_blocks(blocks, jnp.zeros((nmesh, nmesh, nmesh), jnp.float32), nmesh, yb)
 

@@ -4,7 +4,6 @@ compared to golden files."""
 
 import jax
 import numpy as np
-import pytest
 import yaml
 from common import assert_close
 
