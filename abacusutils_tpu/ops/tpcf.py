@@ -36,9 +36,12 @@ def _min_image(d, lbox):
 
 
 @partial(jax.jit, static_argnames=('nrp', 'npi', 'autocorr', 'ntile'))
-def _count_rppi(pos1, pos2, rpbins2, pimax, lbox, nrp, npi, autocorr, ntile):
+def _count_rppi(pos1, pos2, rpbins2, pimax, lbox, nrp, npi, autocorr, ntile,
+                i_offset=0):
     """DD counts over ordered pairs, (rp, pi=|dz|) binning. pos arrays are
-    padded to a multiple of the tile size with sentinel coordinates."""
+    padded to a multiple of the tile size with sentinel coordinates.
+    `i_offset` shifts pos1's global indices (sharded autocorrelations: rows
+    i of this shard are global rows i + i_offset of pos2)."""
     N2 = pos2.shape[0]
 
     def tile_counts(carry, tile):
@@ -67,7 +70,7 @@ def _count_rppi(pos1, pos2, rpbins2, pimax, lbox, nrp, npi, autocorr, ntile):
     T = pos1.shape[0] // ntile
     # validity of padded rows is signalled by inf sentinel coordinates
     valid = jnp.isfinite(pos1[:, 0]).reshape(ntile, T)
-    idx = jnp.arange(pos1.shape[0]).reshape(ntile, T)
+    idx = (jnp.arange(pos1.shape[0]) + i_offset).reshape(ntile, T)
     counts = jnp.zeros(nrp * npi, jnp.int64 if jax.config.x64_enabled else jnp.int32)
     counts, _ = jax.lax.scan(tile_counts, counts, (pos1.reshape(ntile, T, 3), valid, idx))
     return counts

@@ -19,7 +19,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.pipeline import _paint_weighted, populate_weights
 from ..ops.power import _bin_kmu_sums
 
-__all__ = ['make_mesh', 'sharded_hod_pk', 'shard_particles', 'calc_power_sharded']
+__all__ = [
+    'make_mesh',
+    'sharded_hod_pk',
+    'shard_particles',
+    'calc_power_sharded',
+    'pair_counts_rppi_sharded',
+]
 
 
 def make_mesh(devices=None, axis='data'):
@@ -202,3 +208,57 @@ def calc_power_sharded(
             ) * lbox**3).T
         out['N_mode_poles'] = counts_k
     return out
+
+
+def pair_counts_rppi_sharded(
+    pos1, rpbins, pimax, lbox, mesh=None, pos2=None, axis='data'
+):
+    """Ordered (rp, unit-pi) pair counts with pos1 sharded over a device
+    mesh: each chip counts its row shard against the replicated pos2 and the
+    small bin histograms psum over ICI (the SURVEY 2.7 mapping of Corrfunc's
+    per-node row parallelism). Same conventions/result as
+    ops.tpcf.pair_counts_rppi."""
+    from ..ops.tpcf import _TILE, _count_rppi
+
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.shape[axis]
+    autocorr = pos2 is None
+    pos1 = np.asarray(pos1, np.float64)
+    pos2a = pos1 if autocorr else np.asarray(pos2, np.float64)
+    rpbins = np.asarray(rpbins)
+    nrp = len(rpbins) - 1
+    npi = int(pimax)
+
+    # pad rows so each shard is a whole number of tiles
+    n = len(pos1)
+    rows_per = -(-n // (ndev * _TILE)) * _TILE
+    pad = rows_per * ndev - n
+    if pad:
+        pos1 = np.concatenate(
+            [pos1, np.full((pad, 3), np.inf, pos1.dtype)]
+        )
+    ntile_local = rows_per // _TILE
+
+    p1 = jax.device_put(pos1, NamedSharding(mesh, P(axis)))
+    p2 = jnp.asarray(pos2a)
+    rpbins2 = jnp.asarray(rpbins.astype(np.float64) ** 2)
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=P(),
+        check_vma=False,  # scan carry inits inside _count_rppi are unvarying
+    )
+    def step(p1_l, p2_l, rpbins2_l):
+        i0 = jax.lax.axis_index(axis) * p1_l.shape[0]
+        c = _count_rppi(
+            p1_l, p2_l, rpbins2_l, float(pimax), float(lbox), nrp, npi,
+            autocorr, ntile_local, i0,
+        )
+        return jax.lax.psum(c, axis)
+
+    counts = step(p1, p2, rpbins2)
+    return np.asarray(counts, np.int64).reshape(nrp, npi)

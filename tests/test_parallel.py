@@ -67,3 +67,22 @@ def test_sharded_hod_pk_runs():
     assert float(n_gal) > 0
     assert np.isfinite(np.asarray(wsum)).all()
     assert np.asarray(counts).sum() > 0
+
+
+def test_pair_counts_sharded_matches_single():
+    from abacusutils_tpu.ops.tpcf import pair_counts_rppi
+    from abacusutils_tpu.parallel.mesh import pair_counts_rppi_sharded
+
+    rng = np.random.default_rng(21)
+    lbox = 300.0
+    pos = (rng.random((5001, 3)) * lbox)  # odd n exercises shard padding
+    rpbins = np.logspace(-1, np.log10(25), 7)
+
+    dd_s = pair_counts_rppi_sharded(pos, rpbins, 20, lbox, mesh=make_mesh())
+    dd = pair_counts_rppi(pos, rpbins, 20, lbox, method='tile')
+    npt.assert_array_equal(dd_s, dd)
+
+    pos2 = rng.random((3000, 3)) * lbox
+    dd_s = pair_counts_rppi_sharded(pos, rpbins, 20, lbox, mesh=make_mesh(), pos2=pos2)
+    dd = pair_counts_rppi(pos, rpbins, 20, lbox, pos2=pos2, method='tile')
+    npt.assert_array_equal(dd_s, dd)
