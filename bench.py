@@ -31,6 +31,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from abacusutils_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
     from abacusutils_tpu.models.pipeline import (
         group_inputs,
         hod_pk_fused_planned,
