@@ -78,11 +78,9 @@ def test_hod_golden(prepared, testdata):
         for col in ref.colnames:
             assert_close(np.asarray(ref[col]), np.asarray(new[col]))
 
-    # reseed smoke test
     mock_dict = ball.run_hod(
         ball.tracers, HOD_params['want_rsd'], write_to_disk=False, reseed=0xABCDEF
     )
-    assert all(len(mock_dict[t]['x']) > 0 for t in mock_dict)
 
     # ngal integrals are finite and positive
     ngal, fsat = ball.compute_ngal()
@@ -99,6 +97,42 @@ def test_hod_golden(prepared, testdata):
         len(ball.rpbins) - 1,
         ball.pimax // ball.pi_bin_size,
     )
+
+
+def test_reseed(prepared):
+    """Reseed semantics: PCG64 streams (NOT bitwise-matched to the reference's
+    MTGenerator — impossible across generators). Contract tested instead:
+    deterministic per seed, and count-consistent with pre-attached randoms."""
+    config = prepared
+    want_rsd = config['HOD_params']['want_rsd']
+    ball = AbacusHOD(
+        config['sim_params'], config['HOD_params'], config['clustering_params']
+    )
+
+    m1 = ball.run_hod(ball.tracers, want_rsd, write_to_disk=False, reseed=1234)
+    m2 = ball.run_hod(ball.tracers, want_rsd, write_to_disk=False, reseed=1234)
+    for t in m1:
+        assert len(m1[t]['x']) > 0
+        for col in ('x', 'y', 'z', 'vx', 'vy', 'vz'):
+            np.testing.assert_array_equal(
+                np.asarray(m1[t][col]), np.asarray(m2[t][col])
+            )
+
+    # A different seed must actually change the realization.
+    m3 = ball.run_hod(ball.tracers, want_rsd, write_to_disk=False, reseed=1235)
+    changed = any(
+        len(m3[t]['x']) != len(m1[t]['x'])
+        or not np.array_equal(np.asarray(m3[t]['x']), np.asarray(m1[t]['x']))
+        for t in m1
+    )
+    assert changed
+
+    # Reseeded vs pre-attached randoms: same HOD, independent draws, so the
+    # galaxy counts must agree within Poisson scatter (5 sigma).
+    m0 = ball.run_hod(ball.tracers, want_rsd, write_to_disk=False)
+    for t in m1:
+        n0, n1 = len(m0[t]['x']), len(m1[t]['x'])
+        assert abs(n1 - n0) <= 5 * np.sqrt(max(n0, 1)) + 5, (t, n0, n1)
 
 
 def test_zcv_smoke(prepared, testdata, tmp_path):
