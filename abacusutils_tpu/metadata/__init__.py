@@ -150,6 +150,13 @@ def get_meta(simname, redshift=None):
             f'Simulation "{simname}" is not in metadata files "{metadata_fns}"'
         )
 
+    # The CLASS linear spectrum depends only on the cosmology, so bundles may
+    # store it once per cosmology; share it across same-cXXX entries here.
+    if 'CLASS_power_spectrum' not in metadata[simname]:
+        spec = _same_cosmology_spectrum(simname)
+        if spec is not None:
+            metadata[simname]['CLASS_power_spectrum'] = spec
+
     res = dict(metadata[simname]['param'])
     if 'CLASS_power_spectrum' in metadata[simname]:
         res['CLASS_power_spectrum'] = metadata[simname]['CLASS_power_spectrum']
@@ -171,6 +178,21 @@ def get_meta(simname, redshift=None):
         res.update(state)
 
     return res
+
+
+def _same_cosmology_spectrum(simname):
+    """Find a loaded entry with the same cosmology code (cXXX) that carries a
+    CLASS power spectrum, for entries whose bundle stored it only once."""
+    import re
+
+    m = re.search(r'_c(\d+)_', simname)
+    if not m:
+        return None
+    tag = f'_c{m.group(1)}_'
+    for name, entry in metadata.items():
+        if tag in name and 'CLASS_power_spectrum' in entry:
+            return entry['CLASS_power_spectrum']
+    return None
 
 
 def _synthesize_state(param, z):
