@@ -24,19 +24,68 @@ def _check_kcut(fn, kcut):
         pass
 
 
+def _tracer_pos(tr):
+    return np.vstack((tr['x'], tr['y'], tr['z'])).T.astype(np.float32)
+
+
 def apply_zcv(ball, mock_dict, config, load_presaved=False):
-    """Variance-reduced P_ell(k) via Zel'dovich control variates."""
-    assert len(mock_dict.keys()) == 1, 'Currently implemented only a single tracer'
+    """Variance-reduced P_ell(k) via Zel'dovich control variates.
+
+    Accepts any number of tracers. With one tracer the flat zcv dict is
+    returned and output files keep the reference's single-tracer layout
+    (abacus_hod.py:1474-1661). With several tracers (the reference asserts
+    one), each tracer's auto-spectrum is CV-reduced independently and a dict
+    keyed by tracer is returned; tracer-specific memo files carry a _<tracer>
+    tag. Cross-spectra are not CV-reduced (no cross term in the ZeNBu theory).
+    """
     assert len(config['power_params']['poles']) <= 3
     assert config['power_params']['nbins_mu'] == 1
     if 'nmesh' not in config['power_params']:
         config['power_params']['nmesh'] = config['zcv_params']['nmesh']
     assert config['zcv_params']['nmesh'] == config['power_params']['nmesh']
 
+    want_rsd = config['HOD_params']['want_rsd']
+    tracers = list(mock_dict)
+    pos_rsd = {t: _tracer_pos(mock_dict[t]) for t in tracers}
+    del mock_dict
+    gc.collect()
+
+    # One shared real-space re-population covers every tracer.
+    pos_real = {}
+    if want_rsd and not load_presaved:
+        mock_real = ball.run_hod(
+            ball.tracers, want_rsd=False, reseed=None, write_to_disk=False
+        )
+        pos_real = {t: _tracer_pos(mock_real[t]) for t in tracers if t in mock_real}
+        del mock_real
+        gc.collect()
+
+    if want_rsd and not load_presaved:
+        missing = [t for t in tracers if t not in pos_real]
+        assert not missing, (
+            f'tracers {missing} in mock_dict but not in ball.tracers; '
+            'cannot repopulate their real-space counterparts'
+        )
+
+    single = len(tracers) == 1
+    results = {}
+    for t in tracers:
+        tag = '' if single else t
+        results[t] = _apply_zcv_one(
+            ball, pos_rsd.pop(t), pos_real.pop(t, None), config, tag, load_presaved
+        )
+        gc.collect()
+    return results[tracers[0]] if single else results
+
+
+def _apply_zcv_one(ball, pos_rsd, pos_real, config, tracer_tag, load_presaved):
+    """ZCV reduction for one tracer's auto-spectrum. tracer_tag='' keeps the
+    reference's untagged file names."""
     save_dir = Path(config['zcv_params']['zcv_dir']) / config['sim_params']['sim_name']
     save_z_dir = save_dir / f'z{config["sim_params"]["z_mock"]:.3f}'
     rsd_str = '_rsd' if config['HOD_params']['want_rsd'] else ''
     nmesh = config['zcv_params']['nmesh']
+    tag = f'_{tracer_tag}' if tracer_tag else ''
 
     Lbox = ball.lbox
     k_bin_edges, mu_bin_edges = get_k_mu_edges(
@@ -57,9 +106,9 @@ def apply_zcv(ball, mock_dict, config, load_presaved=False):
         sfx = f'nmesh{nmesh}.asdf'
     else:
         sfx = f'nmesh{nmesh}_dk{dk:.3f}.asdf'
-    power_rsd_tr_fn = save_z_dir / f'power{rsd_str}_tr_{sfx}'
+    power_rsd_tr_fn = save_z_dir / f'power{rsd_str}_tr{tag}_{sfx}'
     power_rsd_ij_fn = save_z_dir / f'power{rsd_str}_ij_{sfx}'
-    power_tr_fn = save_z_dir / f'power_tr_{sfx}'
+    power_tr_fn = save_z_dir / f'power_tr{tag}_{sfx}'
     power_ij_fn = save_z_dir / f'power_ij_{sfx}'
 
     for fn in (power_rsd_tr_fn, power_rsd_ij_fn, power_tr_fn, power_ij_fn):
@@ -80,28 +129,15 @@ def apply_zcv(ball, mock_dict, config, load_presaved=False):
         else:
             pk_tr_dict, pk_ij_dict = None, None
     else:
-        for tr in mock_dict.keys():
-            tracer_pos = np.vstack(
-                (mock_dict[tr]['x'], mock_dict[tr]['y'], mock_dict[tr]['z'])
-            ).T.astype(np.float32)
-            del mock_dict
-            gc.collect()
-            pk_rsd_tr_dict = get_tracer_power(
-                tracer_pos, config['HOD_params']['want_rsd'], config
-            )
-            pk_rsd_ij_dict = _load(power_rsd_ij_fn)
+        pk_rsd_tr_dict = get_tracer_power(
+            pos_rsd, config['HOD_params']['want_rsd'], config, tracer_tag=tracer_tag
+        )
+        pk_rsd_ij_dict = _load(power_rsd_ij_fn)
         if config['HOD_params']['want_rsd']:
-            mock_dict = ball.run_hod(
-                ball.tracers, want_rsd=False, reseed=None, write_to_disk=False
+            pk_tr_dict = get_tracer_power(
+                pos_real, want_rsd=False, config=config, tracer_tag=tracer_tag
             )
-            for tr in mock_dict.keys():
-                tracer_pos = np.vstack(
-                    (mock_dict[tr]['x'], mock_dict[tr]['y'], mock_dict[tr]['z'])
-                ).T.astype(np.float32)
-                del mock_dict
-                gc.collect()
-                pk_tr_dict = get_tracer_power(tracer_pos, want_rsd=False, config=config)
-                pk_ij_dict = _load(power_ij_fn)
+            pk_ij_dict = _load(power_ij_fn)
         else:
             pk_tr_dict, pk_ij_dict = None, None
 

@@ -24,8 +24,14 @@ from .ic_fields import compress_asdf
 __all__ = ['get_tracer_power', 'get_recon_power']
 
 
-def get_tracer_power(tracer_pos, want_rsd, config, want_save=True, save_3D_power=False):
-    """Auto P_tr,tr + cross P_{field,tr} with the advected fields (ZCV)."""
+def get_tracer_power(
+    tracer_pos, want_rsd, config, want_save=True, save_3D_power=False, tracer_tag=''
+):
+    """Auto P_tr,tr + cross P_{field,tr} with the advected fields (ZCV).
+
+    tracer_tag: optional label appended to tracer-specific output filenames so
+    several tracers can be memoized side by side ('' keeps the reference's
+    single-tracer file layout)."""
     advected_dir = config['zcv_params']['zcv_dir']
     tracer_dir = config['zcv_params'].get('tracer_dir', advected_dir)
     nmesh = config['zcv_params']['nmesh']
@@ -61,16 +67,17 @@ def get_tracer_power(tracer_pos, want_rsd, config, want_save=True, save_3D_power
         advected_dir_z_dir / f'advected_{kn}_field{rsd_str}_fft_nmesh{nmesh:d}.asdf'
         for kn in keynames
     ]
-    tr_field_fft_fn = save_z_dir / f'tr_field{rsd_str}_fft_nmesh{nmesh:d}.asdf'
+    tag = f'_{tracer_tag}' if tracer_tag else ''
+    tr_field_fft_fn = save_z_dir / f'tr_field{rsd_str}_fft{tag}_nmesh{nmesh:d}.asdf'
     dk = (
         k_bin_edges[1] - k_bin_edges[0]
         if not logk
         else np.log(k_bin_edges[1] / k_bin_edges[0])
     )
     if n_k_bins == nmesh // 2:
-        power_tr_fn = save_z_dir / f'power{rsd_str}_tr_nmesh{nmesh:d}.asdf'
+        power_tr_fn = save_z_dir / f'power{rsd_str}_tr{tag}_nmesh{nmesh:d}.asdf'
     else:
-        power_tr_fn = save_z_dir / f'power{rsd_str}_tr_nmesh{nmesh:d}_dk{dk:.3f}.asdf'
+        power_tr_fn = save_z_dir / f'power{rsd_str}_tr{tag}_nmesh{nmesh:d}_dk{dk:.3f}.asdf'
 
     D, _ = growth_factors(sim_name, z_this, want_rsd=want_rsd)
     print('D = ', D)
@@ -102,7 +109,7 @@ def get_tracer_power(tracer_pos, want_rsd, config, want_save=True, save_3D_power
     if save_3D_power:
         power_tr_fns = []
         pk3d = np.array((tr_field_fft * np.conj(tr_field_fft)).real, dtype=np.float32)
-        fn = save_z_dir / f'power{rsd_str}_tr_tr_nmesh{nmesh:d}.asdf'
+        fn = save_z_dir / f'power{rsd_str}_tr_tr{tag}_nmesh{nmesh:d}.asdf'
         power_tr_fns.append(fn)
         compress_asdf(str(fn), {'P_k3D_tr_tr': pk3d}, header)
     else:
@@ -124,7 +131,7 @@ def get_tracer_power(tracer_pos, want_rsd, config, want_save=True, save_3D_power
         if save_3D_power:
             pk3d = np.array((field_fft_i * np.conj(tr_field_fft)).real, dtype=np.float32)
             pk3d *= field_D[i]
-            fn = save_z_dir / f'power{rsd_str}_{kn}_tr_nmesh{nmesh:d}.asdf'
+            fn = save_z_dir / f'power{rsd_str}_{kn}_tr{tag}_nmesh{nmesh:d}.asdf'
             power_tr_fns.append(fn)
             compress_asdf(str(fn), {f'P_k3D_{kn}_tr': pk3d}, header)
         else:

@@ -155,7 +155,21 @@ def test_zcv_smoke(prepared, testdata, tmp_path):
     config['zcv_params']['tracer_dir'] = str(tmp_path / 'zcv_tracer')
 
     mock_dict = ball.run_hod(ball.tracers, want_rsd=False, write_to_disk=False)
-    del mock_dict['ELG']  # zcv works with a single tracer currently
-    zcv_dict = ball.apply_zcv(mock_dict, config)
+
+    # multi-tracer: per-tracer CV-reduced autos, keyed by tracer
+    zcv_multi = ball.apply_zcv(dict(mock_dict), config)
+    assert set(zcv_multi) == {'LRG', 'ELG'}
+    for t, zd in zcv_multi.items():
+        assert np.isfinite(np.asarray(zd['Pk_tr_tr_ell_zcv'])).all(), t
+        assert 'rho_tr_ZD' in zd and 'bias' in zd
+
+    # single tracer keeps the flat reference-shaped result
+    zcv_dict = ball.apply_zcv({'LRG': mock_dict['LRG']}, config)
     assert np.isfinite(np.asarray(zcv_dict['Pk_tr_tr_ell_zcv'])).all()
     assert 'rho_tr_ZD' in zcv_dict and 'bias' in zcv_dict
+    # the single-tracer path must agree with the multi-tracer LRG entry
+    np.testing.assert_allclose(
+        np.asarray(zcv_dict['Pk_tr_tr_ell_zcv']),
+        np.asarray(zcv_multi['LRG']['Pk_tr_tr_ell_zcv']),
+        rtol=1e-6,
+    )
