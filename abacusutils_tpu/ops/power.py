@@ -266,9 +266,10 @@ def _segsum_sorted(v_sorted, bounds):
 
 @partial(jax.jit, static_argnames=('poles',))
 def _bin_kmu_planned(weights_flat, perm, bounds, kbounds, dup_sorted, pole_w, poles):
-    v = weights_flat[perm] * dup_sorted
-    wsum = _segsum_sorted(v, bounds)
-    psums = [_segsum_sorted(v * pole_w[p], kbounds) for p in poles if p != 0]
+    wp = weights_flat[perm]
+    wsum = _segsum_sorted(wp * dup_sorted, bounds)
+    # pole_w already carries the hermitian dup factor — use the raw weights
+    psums = [_segsum_sorted(wp * pole_w[p], kbounds) for p in poles if p != 0]
     return wsum, psums
 
 
