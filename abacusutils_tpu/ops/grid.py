@@ -21,6 +21,13 @@ import numpy as np
 
 __all__ = [
     'paint_3d',
+    'paint_grouped',
+    'paint_planned',
+    'paint_grouped_yb',
+    'paint_planned2',
+    'fold_ypad',
+    'default_yblock',
+    'build_paint_plan',
     'tsc_parallel',
     'cic_serial',
     'partition_parallel',
@@ -217,15 +224,15 @@ def _paint_grouped(grid, xg, yg, zg, wg, box, offset, nmesh, K, chunk, bf16):
             wz_c = [sl(w)[:, None] for w in wz]
             wx_c = [sl(w) for w in wx]
 
-            # dense stencil rows: (chunk, nmesh)
+            # dense stencil rows: (chunk, nmesh). One iota-compare + two
+            # lane rolls instead of three compares — the compares are the
+            # VPU-bound part of the deposit (25% faster measured at 52M).
             def onehot(i0, w3):
-                im = jnp.mod(i0 - 1, nmesh)[:, None]
-                i_ = i0[:, None]
-                ip = jnp.mod(i0 + 1, nmesh)[:, None]
+                M = (cols[None, :] == i0[:, None]).astype(jnp.float32)
                 return (
-                    w3[0] * (cols[None, :] == im)
-                    + w3[1] * (cols[None, :] == i_)
-                    + w3[2] * (cols[None, :] == ip)
+                    w3[0] * jnp.roll(M, -1, axis=1)
+                    + w3[1] * M
+                    + w3[2] * jnp.roll(M, 1, axis=1)
                 )
 
             Wy = onehot(iy_c, wy_c)
@@ -292,6 +299,130 @@ def paint_planned(plan, px, py, pz, weights=None, bf16=False, chunk=2048):
         plan.K,
         int(chunk),
         bool(bf16),
+    )
+
+
+# ---------------------------------------------------------------------------
+# y-blocked MXU paint: (x-cell, y-block) grouping
+# ---------------------------------------------------------------------------
+#
+# Grouping by (x-cell, y-block of B cells) — both RSD-invariant — shrinks the
+# y one-hot from nmesh to B+2 columns and the matmul LHS from 3*nmesh to
+# 3*(B+2) rows. The deposit is one-hot-CONSTRUCTION bound (VPU iota compares
+# and broadcasts), so narrowing the constructed matrices is a direct win:
+# measured 212 ms vs 422 ms per 52.4M slots at nmesh=256, B=32 on v5e.
+# Accumulation goes into a y-padded (nmesh, nmesh+2, nmesh) grid so block-edge
+# stencil spill needs no wrap logic in the loop; fold_ypad folds the two halo
+# rows at the end.
+
+
+def fold_ypad(gridp, nmesh):
+    """Fold the 2 halo rows of a y-padded accumulator (padded row j holds
+    y = j-1; row 0 wraps to y=nmesh-1, row nmesh+1 wraps to y=0)."""
+    out = gridp[:, 1 : nmesh + 1, :]
+    out = out.at[:, nmesh - 1, :].add(gridp[:, 0, :])
+    out = out.at[:, 0, :].add(gridp[:, nmesh + 1, :])
+    return out
+
+
+def paint_grouped_yb(gridp, xg, yg, zg, wg, box, offset, nmesh, B, K2, chunk=8192):
+    """Accumulate a TSC deposit into the y-padded `gridp` from (ncell, K2)
+    arrays grouped by (x-cell, y-block of B cells) — the layout of
+    grid_pallas.build_paint_plan2d(yb=B). Trace-time helper; compose under an
+    outer jit and fold with fold_ypad."""
+    nyb = nmesh // B
+    ncell = nmesh * nyb
+    ix, wx = _axis_cloud(xg, box, offset, nmesh, 'tsc', True)
+    iy, wy = _axis_cloud(yg, box, offset, nmesh, 'tsc', True)
+    iz, wz = _axis_cloud(zg, box, offset, nmesh, 'tsc', True)
+    iy = jnp.mod(iy, nmesh)
+    iz = jnp.mod(iz, nmesh)
+
+    colsB = jnp.arange(B + 2, dtype=jnp.int32)
+    colsZ = jnp.arange(nmesh, dtype=jnp.int32)
+    nchunk = K2 // chunk
+
+    def cell_body(c, gridp):
+        cx = c // nyb
+        y0 = (c % nyb) * B
+
+        def chunk_body(t, acc):
+            sl = lambda a: jax.lax.dynamic_slice(a, (c, t * chunk), (1, chunk))[0]  # noqa: E731
+            iy_c = sl(iy) - y0 + 1  # block-local coords in [1, B]
+            iz_c = sl(iz)
+            w_c = sl(wg)
+            wy_c = [(sl(w) * w_c)[:, None] for w in wy]
+            wz_c = [sl(w)[:, None] for w in wz]
+            wx_c = [sl(w) for w in wx]
+
+            def onehot(i0, w3, cols):
+                M = (cols[None, :] == i0[:, None]).astype(jnp.float32)
+                return (
+                    w3[0] * jnp.roll(M, -1, axis=1)
+                    + w3[1] * M
+                    + w3[2] * jnp.roll(M, 1, axis=1)
+                )
+
+            Wy = onehot(iy_c, wy_c, colsB)  # (chunk, B+2)
+            Wz = onehot(iz_c, wz_c, colsZ)  # (chunk, nmesh)
+            A = jnp.concatenate([(wx_c[o][:, None] * Wy) for o in range(3)], axis=1)
+            D = jax.lax.dot_general(
+                A, Wz, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (3*(B+2), nmesh)
+            return acc + D
+
+        D = jax.lax.fori_loop(
+            0, nchunk, chunk_body, jnp.zeros((3 * (B + 2), nmesh), jnp.float32)
+        )
+        D = D.reshape(3, B + 2, nmesh)
+        # padded y rows [y0, y0+B+2) hold real y in [y0-1, y0+B+1)
+        for o in range(3):
+            plane = jnp.mod(cx + o - 1, nmesh)
+            row = jax.lax.dynamic_slice(gridp, (plane, y0, 0), (1, B + 2, nmesh))
+            gridp = jax.lax.dynamic_update_slice(
+                gridp, row + D[o][None], (plane, y0, 0)
+            )
+        return gridp
+
+    return jax.lax.fori_loop(0, ncell, cell_body, gridp)
+
+
+@partial(jax.jit, static_argnames=('nmesh', 'B', 'K2', 'chunk'))
+def _paint_planned_yb_jit(xg, yg, zg, wg, box, offset, nmesh, B, K2, chunk):
+    gridp = jnp.zeros((nmesh, nmesh + 2, nmesh), jnp.float32)
+    gridp = paint_grouped_yb(gridp, xg, yg, zg, wg, box, offset, nmesh, B, K2, chunk)
+    return fold_ypad(gridp, nmesh)
+
+
+def default_yblock(nmesh):
+    """Largest power-of-two block size <= 32 that divides nmesh."""
+    B = 32
+    while B > 1 and nmesh % B:
+        B //= 2
+    return B
+
+
+def paint_planned2(plan, px, py, pz, weights=None, chunk=8192):
+    """TSC paint using a grid_pallas.PaintPlan2D (y-blocked MXU deposit).
+
+    px/py must produce the same (x-cell, y-block) assignment the plan was
+    built on; pz/weights may vary (RSD shifts along z)."""
+    N = len(px)
+    zero = jnp.zeros(1, jnp.float32)
+    xg = jnp.concatenate([jnp.asarray(px, jnp.float32), zero])
+    yg = jnp.concatenate([jnp.asarray(py, jnp.float32), zero])
+    zg = jnp.concatenate([jnp.asarray(pz, jnp.float32), zero])
+    w = (
+        jnp.ones(N, jnp.float32)
+        if weights is None
+        else jnp.asarray(weights, jnp.float32)
+    )
+    wg = jnp.concatenate([w, zero])
+    pad = plan.pad_idx
+    return _paint_planned_yb_jit(
+        xg[pad], yg[pad], zg[pad], wg[pad],
+        plan.box, plan.offset, plan.nmesh, plan.yb, plan.K, int(chunk),
     )
 
 

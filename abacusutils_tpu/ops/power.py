@@ -412,12 +412,19 @@ def get_field(pos, Lbox, nmesh, paste, w=None, d=0.0, nthread=None, dtype=np.flo
         assert len(pos) == len(w)
     paste = paste.upper()
     if paste == 'TSC' and len(pos) >= _PLANNED_PAINT_MIN_N:
-        from .grid import build_paint_plan, paint_planned
+        from .grid import default_yblock, paint_planned2
+        from .grid_pallas import build_paint_plan2d
 
         pos = np.asarray(pos)
-        plan = build_paint_plan(pos[:, 0], nmesh, Lbox, offset=d, chunk=8192)
-        field = paint_planned(
-            plan, pos[:, 0], pos[:, 1], pos[:, 2], weights=w, chunk=8192
+        B = default_yblock(nmesh)
+        # chunk scales with expected bucket occupancy to bound padding waste
+        occ = len(pos) // (nmesh * (nmesh // B)) + 1
+        chunk = int(min(8192, max(512, 1 << (occ.bit_length() - 1))))
+        plan = build_paint_plan2d(
+            pos[:, 0], pos[:, 1], nmesh, Lbox, yb=B, offset=d, chunk=chunk
+        )
+        field = paint_planned2(
+            plan, pos[:, 0], pos[:, 1], pos[:, 2], weights=w, chunk=chunk
         )
     elif paste == 'TSC':
         field = paint_3d(pos, nmesh, Lbox, weights=w, offset=d, kind='tsc', wrap=True)

@@ -24,7 +24,9 @@ N_HALO = 10_000_000
 N_PART = 50_000_000
 LBOX = 2000.0
 NMESH = 256
-CHUNK = 8192  # deposit matmul K-tile; larger tiles amortize loop overhead
+CHUNK = 8192  # particle deposit K-tile; larger tiles amortize loop overhead
+CHUNK_H = 2048  # halo deposit K-tile (lower bucket occupancy)
+YBLOCK = 32  # y-block height of the deposit grouping
 
 
 def main():
@@ -36,8 +38,8 @@ def main():
     enable_compile_cache()
 
     from abacusutils_tpu.models.pipeline import (
-        group_inputs,
-        hod_pk_fused_planned,
+        group_inputs2d,
+        hod_pk_fused_yb,
         make_bin_plan_arrays,
         make_example_inputs,
     )
@@ -51,11 +53,12 @@ def main():
     t0 = time.perf_counter()
     halo, part, params = make_example_inputs(N_HALO, N_PART, LBOX, seed=42)
     print('inputs', time.perf_counter()-t0, file=sys.stderr, flush=True)
-    # one-time staging: group by paint x-cell (like the reference's staging,
-    # this is outside the per-HOD-evaluation inner loop)
+    # one-time staging: group by (x-cell, y-block) — both RSD-invariant —
+    # (like the reference's staging, outside the per-HOD-evaluation loop)
     t0 = time.perf_counter()
-    halo, K_h = group_inputs(halo, NMESH, LBOX, chunk=CHUNK)
-    part, K_p = group_inputs(part, NMESH, LBOX, chunk=CHUNK)
+    halo, plan_h = group_inputs2d(halo, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK_H)
+    part, plan_p = group_inputs2d(part, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK)
+    K_h, K_p = plan_h.K, plan_p.K
     print('grouping', time.perf_counter()-t0, 'K_h', K_h, 'K_p', K_p, file=sys.stderr, flush=True)
     binplan, counts = make_bin_plan_arrays(NMESH, LBOX, nbins_k)
     Wcomp = jnp.asarray(get_W_compensated(LBOX, NMESH, 'TSC', False).astype(np.float32))
@@ -67,9 +70,10 @@ def main():
     print('device_put', time.perf_counter()-t0, file=sys.stderr, flush=True)
 
     def step():
-        return hod_pk_fused_planned(
+        return hod_pk_fused_yb(
             halo, part, params, binplan, Wcomp,
-            LBOX, velz2kms, NMESH, nbins_k, K_h, K_p, rsd=True, chunk=CHUNK,
+            LBOX, velz2kms, NMESH, YBLOCK, nbins_k, K_h, K_p,
+            rsd=True, chunk_h=CHUNK_H, chunk_p=CHUNK,
         )
 
     # compile + warmup

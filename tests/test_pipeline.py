@@ -148,3 +148,30 @@ def test_pallas_fused_matches_planned():
     )
     assert float(ngal_k) == float(ngal_p)
     npt.assert_allclose(np.asarray(wsum_k), np.asarray(wsum_p), rtol=2e-4)
+
+
+def test_yb_matches_planned():
+    """The y-blocked fused pipeline (bench path) returns the same n_gal and
+    P(k) sums as the x-slab planned pipeline on the same catalog."""
+    from abacusutils_tpu.models.pipeline import group_inputs2d, hod_pk_fused_yb
+
+    halo, part, params = _inputs()
+    binplan, counts = make_bin_plan_arrays(NMESH, LBOX, NBINS_K)
+
+    halo_g, K_h = group_inputs(halo, NMESH, LBOX, chunk=256)
+    part_g, K_p = group_inputs(part, NMESH, LBOX, chunk=256)
+    wsum_p, ngal_p = hod_pk_fused_planned(
+        halo_g, part_g, params, binplan, None, LBOX, 100.0,
+        NMESH, NBINS_K, K_h, K_p, rsd=True, chunk=256,
+    )
+
+    halo_b, plan_h = group_inputs2d(halo, NMESH, LBOX, yb=8, chunk=128)
+    part_b, plan_p = group_inputs2d(part, NMESH, LBOX, yb=8, chunk=128)
+    wsum_y, ngal_y = hod_pk_fused_yb(
+        halo_b, part_b, params, binplan, None, LBOX, 100.0,
+        NMESH, 8, NBINS_K, plan_h.K, plan_p.K,
+        rsd=True, chunk_h=128, chunk_p=128,
+    )
+
+    assert float(ngal_p) == float(ngal_y)
+    npt.assert_allclose(np.asarray(wsum_p), np.asarray(wsum_y), rtol=2e-4, atol=1e-10)

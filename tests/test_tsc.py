@@ -155,3 +155,41 @@ def test_pallas_paint_grouped2d(npass):
     ref = np.asarray(paint_3d(pos, nmesh, box, weights=w))
     npt.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
     npt.assert_allclose(out.sum(), w.sum(), rtol=1e-5)
+
+
+@pytest.mark.parametrize('nmesh,B', [(32, 8), (64, 32)])
+def test_paint_planned2_yblock(nmesh, B):
+    """The y-blocked MXU deposit (paint_planned2) matches the scatter paint,
+    including block-edge and periodic-wrap stencil spill."""
+    from abacusutils_tpu.ops.grid import paint_3d, paint_planned2
+    from abacusutils_tpu.ops.grid_pallas import build_paint_plan2d
+
+    rng = np.random.default_rng(7)
+    n, box = 30_000, 77.0
+    pos = (rng.random((n, 3)) * box).astype(np.float32)
+    w = rng.random(n).astype(np.float32)
+
+    plan = build_paint_plan2d(pos[:, 0], pos[:, 1], nmesh, box, yb=B, chunk=128)
+    out = np.asarray(
+        paint_planned2(plan, pos[:, 0], pos[:, 1], pos[:, 2], weights=w, chunk=128)
+    )
+    ref = np.asarray(paint_3d(pos, nmesh, box, weights=w))
+    npt.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+    npt.assert_allclose(out.sum(), w.sum(), rtol=1e-5)
+
+
+def test_paint_planned2_offset():
+    """Interlacing offset path through paint_planned2 (plan built with the
+    same half-cell offset)."""
+    from abacusutils_tpu.ops.grid import paint_3d, paint_planned2
+    from abacusutils_tpu.ops.grid_pallas import build_paint_plan2d
+
+    rng = np.random.default_rng(9)
+    n, nmesh, box = 10_000, 32, 50.0
+    d = 0.5 * box / nmesh
+    pos = (rng.random((n, 3)) * box).astype(np.float32)
+
+    plan = build_paint_plan2d(pos[:, 0], pos[:, 1], nmesh, box, yb=8, offset=d, chunk=128)
+    out = np.asarray(paint_planned2(plan, pos[:, 0], pos[:, 1], pos[:, 2], chunk=128))
+    ref = np.asarray(paint_3d(pos, nmesh, box, offset=d, kind='tsc', wrap=True))
+    npt.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
