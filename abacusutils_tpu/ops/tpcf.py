@@ -117,205 +117,350 @@ def _pad_tiles(pos, tile=_TILE):
 
 
 # ---------------------------------------------------------------------------
-# Cell-list pair counting (the large-N path; replaces Corrfunc's cell grids)
+# Grid pair engine (the large-N path; replaces Corrfunc's cell grids,
+# reference tpcf_corrfunc.py:97-372)
+#
+# All heavy staging runs ON DEVICE (points are sorted by cell with a
+# multi-operand lax.sort, then sorted again into occupancy-class padded
+# layouts); the host only sees the (nc^3,) occupancy vector and computes the
+# class bookkeeping. Cells are bucketed by occupancy into power-of-two
+# capacity classes on BOTH sides of the pair, so the candidate-pair volume is
+# ~2.6x the ideal sum_c n_c * nbh_c instead of the ~15x a global-max padding
+# costs. Each (row-class, neighbor-class) combo runs one jitted kernel:
+# wide row gathers (x|y|z packed per row so one gather fetches a whole cell),
+# compare-sum bin indices (out-of-range and sentinel pairs fall outside the
+# one-hot columns, so no masks), and the factorized MXU histogram.
 # ---------------------------------------------------------------------------
 
 
-class _CellPlan:
-    """Host-side grouping of points into a (nc^3, K) padded cell layout plus
-    the 27-neighbor cell map. The TPU analogue of Corrfunc's cell grid: only
-    neighbor-cell pairs are evaluated, so cost is O(N * local density)
-    instead of O(N^2). Cell width = lbox/nc >= rmax by construction."""
+def _hist2d_factored(b1v, b2v, nb1, nb2):
+    """Exact 2D histogram of (b1, b2) bin pairs via two small one-hots
+    contracted on the MXU: nb1 + nb2 VPU compares per pair instead of the
+    nb1*nb2 a flat compare-reduce needs. The one-hots are 0/1 in bf16 (exactly
+    representable); the MXU accumulates in f32, so block sums are exact
+    integers as long as a block holds < 2^24 pairs (blocks are capped far
+    below that). Pairs whose b1 or b2 falls outside [0, nb) simply match no
+    one-hot column and contribute nothing."""
+    cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, nb1), 1)
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (1, nb2), 1)
+    oh1 = (b1v.reshape(-1, 1) == cols1).astype(jnp.bfloat16)
+    oh2 = (b2v.reshape(-1, 1) == cols2).astype(jnp.bfloat16)
+    blk = jax.lax.dot_general(
+        oh1, oh2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return blk.astype(jnp.int32)
+
+
+def _rows(A, idx):
+    """Gather whole rows of A at idx. TPU gathers hit the fast path only for
+    rows >= ~64 lanes; narrower f32 rows are viewed as uint8 (4x the lanes)
+    and bitcast back."""
+    n, w = A.shape
+    if w >= 64:
+        return A[idx]
+    Au = jax.lax.bitcast_convert_type(A, jnp.uint8).reshape(n, 4 * w)
+    g = Au[idx]
+    return jax.lax.bitcast_convert_type(g.reshape(idx.shape[0], w, 4), jnp.float32)
+
+
+@partial(jax.jit, static_argnames=('nc',))
+def _stage_cells(x, y, z, lbox, nc):
+    """Sort (inf-padded) points by cell id; return sorted keys/coords, the
+    per-cell occupancy, and each point's rank within its cell."""
+    C = nc * nc * nc
+    inv = jnp.float32(nc) / lbox
+    fin = jnp.isfinite(x)
+
+    def ci(a):
+        return jnp.clip((a * inv).astype(jnp.int32), 0, nc - 1)
+
+    key = jnp.where(fin, (ci(x) * nc + ci(y)) * nc + ci(z), C)
+    key, xs, ys, zs = jax.lax.sort((key, x, y, z), num_keys=1)
+    starts = jnp.searchsorted(key, jnp.arange(C + 1, dtype=key.dtype))
+    occ = starts[1:] - starts[:-1]
+    i = jnp.arange(key.shape[0], dtype=jnp.int32)
+    newrun = jnp.where(
+        jnp.concatenate([jnp.ones(1, bool), key[1:] != key[:-1]]), i, 0
+    )
+    rank = i - jax.lax.cummax(newrun)
+    return key, xs, ys, zs, occ, rank
+
+
+@partial(jax.jit, static_argnames=('S',))
+def _stage_layout(key, xs, ys, zs, rank, slotbase, paddest, S):
+    """Scatter-free layout build: each point's destination slot is
+    slotbase[cell] + rank; padding slots arrive as an explicit index list with
+    inf coordinates; a single sort by destination materializes the padded
+    class layouts as one flat (S,) array per coordinate."""
+    C = slotbase.shape[0]
+    i = jnp.arange(key.shape[0], dtype=jnp.int32)
+    dest = jnp.where(key < C, slotbase[jnp.minimum(key, C - 1)] + rank, S + i)
+    npad = paddest.shape[0]
+    inf = jnp.full(npad, jnp.inf, xs.dtype)
+    dest = jnp.concatenate([dest, paddest])
+    _, lx, ly, lz = jax.lax.sort(
+        (dest,
+         jnp.concatenate([xs, inf]),
+         jnp.concatenate([ys, inf]),
+         jnp.concatenate([zs, inf])),
+        num_keys=1,
+    )
+    return lx[:S], ly[:S], lz[:S]
+
+
+_OFFSETS = [(di, dj, dk) for di in (-1, 0, 1) for dj in (-1, 0, 1)
+            for dk in (-1, 0, 1)]
+
+
+@partial(jax.jit, static_argnames=('nc',))
+def _stage_items(tblA, tblB, nc):
+    """Sort the (cell, offset) item grid by (row-class, neighbor-class) combo.
+    tbl* pack class (high byte) and class-local row (low 24 bits) per cell;
+    empty cells carry class 0xFF and sort to the tail. The 27 neighbor tables
+    come from rolls of the 3D cell grid — no gathers."""
+    C = nc * nc * nc
+    b3 = tblB.reshape(nc, nc, nc)
+    bs = jnp.stack(
+        [jnp.roll(b3, (-di, -dj, -dk), (0, 1, 2)).reshape(C)
+         for (di, dj, dk) in _OFFSETS]
+    )
+    a = jnp.broadcast_to(tblA[None, :], (27, C))
+    combo = ((a >> 24) & 0xFF) * 256 + ((bs >> 24) & 0xFF)
+    _, ia, ib = jax.lax.sort(
+        (combo.reshape(-1), (a & 0xFFFFFF).reshape(-1),
+         (bs & 0xFFFFFF).reshape(-1)),
+        num_keys=1,
+    )
+    return ia, ib
+
+
+@partial(jax.jit, static_argnames=('mode', 'nb1', 'nb2', 'capA', 'capB', 'Pc'))
+def _combo_counts(A, B, ia, ib, edges2, aux, lbox, mode, nb1, nb2,
+                  capA, capB, Pc):
+    """Pair counts for one (row-class, neighbor-class) combo. A/B are
+    (Cpad, 3*cap) packed x|y|z layouts (inf in pad slots), ia/ib the item
+    row lists. Sentinel pairs produce inf/NaN r2, land outside [0, nb1) in
+    the compare-sum bin index, and are dropped by the one-hot histogram."""
+    nblk = ia.shape[0] // Pc
+
+    def blk(counts, t):
+        ja = jax.lax.dynamic_slice(ia, (t,), (Pc,))
+        jb = jax.lax.dynamic_slice(ib, (t,), (Pc,))
+        ra = _rows(A, ja)
+        rb = _rows(B, jb)
+        ax, ay, az = ra[:, :capA], ra[:, capA:2 * capA], ra[:, 2 * capA:3 * capA]
+        bx, by, bz = rb[:, :capB], rb[:, capB:2 * capB], rb[:, 2 * capB:3 * capB]
+        dx = _min_image(ax[:, :, None] - bx[:, None, :], lbox)
+        dy = _min_image(ay[:, :, None] - by[:, None, :], lbox)
+        dz = jnp.abs(_min_image(az[:, :, None] - bz[:, None, :], lbox))
+        if mode == 'rppi':
+            r2 = dx * dx + dy * dy
+            b2 = dz.astype(jnp.int32)  # floor; >= pimax matches no column
+        else:
+            r2 = dx * dx + dy * dy + dz * dz
+            s = jnp.sqrt(r2)
+            mu = jnp.where(s > 0, dz / s, 0.0)
+            b2 = jnp.minimum((mu * aux).astype(jnp.int32), nb2 - 1)
+        b1 = sum(
+            (r2 >= edges2[k]).astype(jnp.int32) for k in range(nb1 + 1)
+        ) - 1
+        return counts + _hist2d_factored(b1, b2, nb1, nb2), None
+
+    counts = jnp.zeros((nb1, nb2), jnp.int32)
+    counts, _ = jax.lax.scan(
+        blk, counts, jnp.arange(nblk, dtype=jnp.int32) * Pc
+    )
+    return counts
+
+
+def _pow2ceil(n):
+    return 1 << max(0, int(n) - 1).bit_length()
+
+
+class _SideStage:
+    """One tracer's device staging: cell sort, occupancy classes, padded
+    class layouts, and the packed class/row table."""
+
+    _CAP0 = 16
 
     def __init__(self, pos, lbox, nc):
-        pos = np.asarray(pos, np.float64)
         n = len(pos)
-        p = np.mod(pos, lbox)
-        ci = np.minimum((p / lbox * nc).astype(np.int64), nc - 1)
-        key = (ci[:, 0] * nc + ci[:, 1]) * nc + ci[:, 2]
-        C = nc**3
-        counts = np.bincount(key, minlength=C)
-        K = max(8, int(-(-counts.max() // 8) * 8))
-        order = np.argsort(key, kind='stable')
-        starts = np.concatenate([[0], np.cumsum(counts)])
-        within = np.arange(n) - starts[key[order]]
-        pad_idx = np.full((C, K), n, np.int64)
-        pad_idx[key[order], within] = order
-        self.nc, self.K, self.pad_idx = nc, K, pad_idx
-        self.counts = counts
-
-    def gathered(self, pos, lbox):
-        """(C, K) x/y/z arrays (inf sentinel in padded slots) + global index."""
-        pos = np.mod(np.asarray(pos, np.float64), lbox)
-        n = len(pos)
-        out = []
-        for a in range(3):
-            ext = np.concatenate([pos[:, a], [np.inf]]).astype(np.float32)
-            out.append(jnp.asarray(ext[self.pad_idx]))
-        idx = np.concatenate([np.arange(n, dtype=np.int32), [np.int32(n)]])
-        out.append(jnp.asarray(idx[self.pad_idx]))
-        return out
-
-
-def _neighbor_map(nc):
-    """(nc^3, 27) int32: flat indices of the 27 surrounding cells."""
-    i = np.arange(nc)
-    ii, jj, kk = np.meshgrid(i, i, i, indexing='ij')
-    nbr = np.empty((nc**3, 27), np.int32)
-    o = 0
-    for di in (-1, 0, 1):
-        for dj in (-1, 0, 1):
-            for dk in (-1, 0, 1):
-                nbr[:, o] = (
-                    ((ii + di) % nc * nc + (jj + dj) % nc) * nc + (kk + dk) % nc
-                ).reshape(-1)
-                o += 1
-    return nbr
-
-
-def _hist_onehot(seg, nbpad):
-    """Histogram small-cardinality int segments via a compare-reduce (XLA
-    fuses it; avoids bincount's serial scatter on TPU)."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, (nbpad,), 0)
-    flat = seg.reshape(-1, 1)
-    return jnp.sum(flat == cols[None, :], axis=0, dtype=jnp.int32)
-
-
-@partial(jax.jit, static_argnames=('mode', 'nb1', 'nb2', 'autocorr', 'nblk'))
-def _cell_counts(
-    g1, g2, nbr, edges2, aux, lbox, mode, nb1, nb2, autocorr, nblk
-):
-    """Neighbor-cell pair counts. g1/g2 = (x, y, z, idx) each (C, K);
-    mode 'rppi': edges2=rp^2 edges, aux=pimax; mode 'smu': edges2=s^2 edges,
-    aux=nmu. Returns (nb1*nb2,) int32 counts."""
-    x1, y1, z1, i1 = g1
-    C, K1 = x1.shape
-    K2 = g2[0].shape[1]
-    nb = nb1 * nb2
-    nbpad = nb + 1
-
-    def one_offset(counts, o):
-        rows = nbr[:, o]
-        xn, yn, zn, jn = (a[rows] for a in g2)
-
-        def block(counts, b):
-            sl = lambda a, w: jax.lax.dynamic_slice(a, (b, 0), (C // nblk, w))  # noqa: E731
-            dx = _min_image(sl(x1, K1)[:, :, None] - sl(xn, K2)[:, None, :], lbox)
-            dy = _min_image(sl(y1, K1)[:, :, None] - sl(yn, K2)[:, None, :], lbox)
-            dz = jnp.abs(
-                _min_image(sl(z1, K1)[:, :, None] - sl(zn, K2)[:, None, :], lbox)
-            )
-            if mode == 'rppi':
-                r2 = dx * dx + dy * dy
-                b2 = jnp.floor(dz).astype(jnp.int32)
-                ok = dz < aux
-            else:
-                r2 = dx * dx + dy * dy + dz * dz
-                s = jnp.sqrt(r2)
-                mu = jnp.where(s > 0, dz / s, 0.0)
-                b2 = jnp.minimum((mu * aux).astype(jnp.int32), nb2 - 1)
-                ok = True
-            b1v = jnp.searchsorted(edges2, r2, side='right') - 1
-            ok = ok & (b1v >= 0) & (b1v < nb1) & jnp.isfinite(r2)
-            if autocorr:
-                ok = ok & (sl(i1, K1)[:, :, None] != sl(jn, K2)[:, None, :])
-            seg = jnp.where(ok, b1v * nb2 + b2, nb)
-            return counts + _hist_onehot(seg, nbpad), None
-
-        counts, _ = jax.lax.scan(
-            block, counts, jnp.arange(nblk) * (C // nblk)
+        npad = _pow2ceil(n)
+        if isinstance(pos, jax.Array):
+            # device-resident input: no host round trip (callers staging
+            # positions once skip the dominant transfer cost)
+            coords = [
+                jnp.pad(
+                    jnp.mod(pos[:, axis], lbox).astype(jnp.float32),
+                    (0, npad - n), constant_values=jnp.inf,
+                )
+                for axis in range(3)
+            ]
+        else:
+            p = np.mod(np.asarray(pos, np.float64), lbox)
+            coords = []
+            for axis in range(3):
+                a = np.full(npad, np.inf, np.float32)
+                a[:n] = p[:, axis]
+                coords.append(jnp.asarray(a))
+        self.n = n
+        self.nc = nc
+        key, xs, ys, zs, occ_d, rank = _stage_cells(
+            *coords, jnp.float32(lbox), nc
         )
-        return counts, None
+        occ = np.asarray(occ_d)
+        self.occ = occ
+        C = nc**3
 
-    zero = jnp.zeros(nbpad, jnp.int32)
-    if autocorr:
-        # both bin coordinates are symmetric under pair exchange (rp/s and
-        # |dz|), so evaluate only the 13 lexicographically-positive offsets
-        # and double; the center offset (13) counts both directions itself
-        center, _ = one_offset(zero, jnp.int32(13))
-        half, _ = jax.lax.scan(one_offset, zero, jnp.arange(14, 27))
-        counts = center + 2 * half
-    else:
-        counts, _ = jax.lax.scan(one_offset, zero, jnp.arange(27))
-    return counts[:nb]
+        maxocc = max(int(occ.max()), 1)
+        caps = [self._CAP0]
+        while caps[-1] < maxocc:
+            caps.append(caps[-1] * 2)
+        classid = np.searchsorted(caps, occ)  # occ<=16 -> 0, <=32 -> 1, ...
+        live = occ > 0
+        # merge sparsely-populated classes into the next cap up: a class with
+        # a handful of cells costs a full kernel dispatch for ~no pairs
+        for a in range(len(caps) - 1):
+            if np.count_nonzero(live & (classid == a)) < 64:
+                classid[classid == a] = a + 1
+        keep = sorted(set(classid[live]))
+        caps = [caps[a] for a in keep]
+        classid = np.searchsorted(keep, classid)
+        self.caps = caps
+
+        # per-class cell lists, class-local rows, flat layout offsets
+        slotbase = np.zeros(C, np.int64)
+        tbl = np.full(C, 0xFF << 24, np.int64)  # empty cells: class 0xFF
+        self.class_cells = []
+        self.cpads = []
+        offsets = []
+        off = 0
+        pad_lo, pad_len = [], []
+        for a, cap in enumerate(caps):
+            cells = np.flatnonzero(live & (classid == a))
+            Ca = len(cells)
+            Cpad = _pow2ceil(Ca + 1)
+            self.class_cells.append(cells)
+            self.cpads.append(Cpad)
+            offsets.append(off)
+            slotbase[cells] = off + np.arange(Ca, dtype=np.int64) * cap
+            tbl[cells] = (a << 24) | np.arange(Ca, dtype=np.int64)
+            # pad slots: tail of each occupied cell + whole trailing pad rows
+            pad_lo.append(slotbase[cells] + occ[cells])
+            pad_len.append(cap - occ[cells])
+            pad_lo.append(np.array([off + Ca * cap], np.int64))
+            pad_len.append(np.array([(Cpad - Ca) * cap], np.int64))
+            off += Cpad * cap
+        S = off
+        pad_lo = np.concatenate(pad_lo)
+        pad_len = np.concatenate(pad_len)
+        tot = int(pad_len.sum())
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(pad_len) - pad_len, pad_len
+        )
+        paddest = (np.repeat(pad_lo, pad_len) + within).astype(np.int32)
+        assert tot == S - n, (tot, S, n)
+
+        lx, ly, lz = _stage_layout(
+            key, xs, ys, zs, rank,
+            jnp.asarray(slotbase.astype(np.int32)), jnp.asarray(paddest), S,
+        )
+        # per-class (Cpad, >=max(3*cap, 64)) packed layouts; narrow rows are
+        # padded with inf columns so row gathers stay on the wide fast path
+        self.layouts = []
+        for a, cap in enumerate(caps):
+            o, Cpad = offsets[a], self.cpads[a]
+            sl = slice(o, o + Cpad * cap)
+            pack = [lx[sl].reshape(Cpad, cap), ly[sl].reshape(Cpad, cap),
+                    lz[sl].reshape(Cpad, cap)]
+            if 3 * cap < 64:
+                pack.append(jnp.full((Cpad, 64 - 3 * cap), jnp.inf, jnp.float32))
+            self.layouts.append(jnp.concatenate(pack, axis=1))
+        self.tbl = jnp.asarray(tbl.astype(np.int32))
+        self.classid3 = np.where(live, classid, 255).reshape(nc, nc, nc)
+
+
+def _combo_sizes(sideA, sideB, nc):
+    """Host item counts per (row-class, neighbor-class) combo, in the same
+    combo-key order the device item sort uses."""
+    a3 = sideA.classid3
+    keys = []
+    for (di, dj, dk) in _OFFSETS:
+        b3 = np.roll(sideB.classid3, (-di, -dj, -dk), (0, 1, 2))
+        keys.append((a3.astype(np.int32) * 256 + b3).reshape(-1))
+    return np.bincount(np.concatenate(keys), minlength=256 * 256)
 
 
 _CELL_MIN_N = 100_000  # below this the O(N^2) tiled kernel wins on latency
 
+# staging reuse across calls on the SAME device array (wp + xi(rp,pi) +
+# multipoles on one catalog share the cell sort and layouts). Only jax.Arrays
+# are cached: they are immutable, so object identity implies identical data.
+_STAGE_CACHE_LEN = 4
+_stage_cache = []
+
+
+def _get_stage(pos, lbox, nc):
+    if not isinstance(pos, jax.Array):
+        return _SideStage(pos, lbox, nc)
+    for ent in _stage_cache:
+        if ent[0] is pos and ent[1] == (lbox, nc):
+            return ent[2]
+    st = _SideStage(pos, lbox, nc)
+    _stage_cache.insert(0, (pos, (lbox, nc), st))
+    del _stage_cache[_STAGE_CACHE_LEN:]
+    return st
+
 
 def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
                       method=None):
-    """Cell-list dispatch; returns None when cell decomposition doesn't apply
-    (box too small relative to rmax, or N too small to matter). method:
-    None = auto, 'cell' forces the cell path, 'tile' disables it."""
+    """Grid-engine dispatch; returns None when cell decomposition doesn't
+    apply (box too small relative to rmax, or N too small to matter).
+    method: None = auto, 'cell' forces the grid path, 'tile' disables it."""
     n1 = len(pos1)
     autocorr = pos2 is None
     nc = int(lbox // rmax)
     if nc < 3 or method == 'tile' or (method != 'cell' and n1 < _CELL_MIN_N):
         return None
     nc = min(nc, 128)
-    plan1 = _CellPlan(pos1, lbox, nc)
-    g1 = plan1.gathered(pos1, lbox)
-    if autocorr:
-        g2 = g1
-    else:
-        g2 = _CellPlan(pos2, lbox, nc).gathered(pos2, lbox)
-    K1, K2 = g1[0].shape[1], g2[0].shape[1]
-    nbr_full = _neighbor_map(nc)
 
-    # Row-side occupancy classes: each cell is padded only to the smallest
-    # power-of-two-ish capacity covering its count, instead of the global max
-    # (K = max occupancy would evaluate (K/avg)^2 more candidate pairs). Each
-    # cell sits in exactly one class, so the 13-offset autocorr symmetry in
-    # _cell_counts still sees every unordered cell pair exactly once.
-    occ = plan1.counts
-    caps = []
-    cap = 8
-    while cap < K1:
-        caps.append(cap)
-        cap *= 4
-    caps.append(K1)
+    sideA = _get_stage(pos1, lbox, nc)
+    sideB = sideA if autocorr else _get_stage(pos2, lbox, nc)
+    ia, ib = _stage_items(sideA.tbl, sideB.tbl, nc)
+    sizes = _combo_sizes(sideA, sideB, nc)
 
-    total = None
-    prev = -1
-    edges2_j = jnp.asarray(edges2)
-    for cap in caps:
-        cells = np.flatnonzero((occ > prev) & (occ <= cap))
-        prev = cap
-        if not len(cells):
+    edges2_j = jnp.asarray(np.asarray(edges2, np.float64))
+    acc = None  # accumulate on device; one host sync at the end
+    off = 0
+    for ckey in np.flatnonzero(sizes):
+        P = int(sizes[ckey])
+        a, b = ckey // 256, ckey % 256
+        if a == 255 or b == 255:  # an empty cell on either side: no pairs
+            off += P
             continue
-        rows = jnp.asarray(cells)
-        g1c = [a[rows][:, :cap] for a in g1]
-        nbr = nbr_full[cells]
-        Cc = len(cells)
-        # bound each block's (cells, cap, K2) pair tensor to ~2M elements so
-        # the histogram compare-reduce stays cache/VMEM sized
-        cb = max(1, 2_000_000 // (cap * K2))
-        nblk = -(-Cc // cb)
-        Cp = nblk * cb
-        if Cp > Cc:  # pad with empty cells (sentinel coords have no pairs)
-            pad = Cp - Cc
-            nbr = np.concatenate([nbr, np.zeros((pad, 27), np.int32)])
-            g1c = [
-                jnp.concatenate(
-                    [a, jnp.full((pad, a.shape[1]), _pad_val(a), a.dtype)]
-                )
-                for a in g1c
-            ]
-        counts = np.asarray(
-            _cell_counts(
-                tuple(g1c), tuple(g2), jnp.asarray(nbr),
-                edges2_j, float(aux), float(lbox), mode, nb1, nb2,
-                autocorr, nblk,
-            ),
-            np.int64,
+        capA, capB = sideA.caps[a], sideB.caps[b]
+        Pc = max(8, 2**21 // (capA * capB))
+        Ppad = -(-P // Pc) * Pc
+        ja = jnp.pad(ia[off:off + P], (0, Ppad - P),
+                     constant_values=sideA.cpads[a] - 1)
+        jb = jnp.pad(ib[off:off + P], (0, Ppad - P),
+                     constant_values=sideB.cpads[b] - 1)
+        counts = _combo_counts(
+            sideA.layouts[a], sideB.layouts[b], ja, jb,
+            edges2_j, jnp.float32(aux), jnp.float32(lbox),
+            mode, nb1, nb2, capA, capB, Pc,
         )
-        total = counts if total is None else total + counts
-    return total.reshape(nb1, nb2)
+        acc = counts if acc is None else acc + counts
+        off += P
 
-
-def _pad_val(a):
-    return jnp.inf if jnp.issubdtype(a.dtype, jnp.floating) else jnp.int32(2**30)
+    total = np.asarray(acc, np.int64) if acc is not None else np.zeros(
+        (nb1, nb2), np.int64
+    )
+    if autocorr and float(np.asarray(edges2)[0]) <= 0:
+        # self-pairs (i == i) land in bin (0, 0): rp = dz = 0 (mu = 0)
+        total[0, 0] -= n1
+    return total
 
 
 def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None, method=None):
@@ -324,9 +469,9 @@ def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None, method=None):
     Returns (nrp, int(pimax)) int64 array. Each unordered pair counts twice
     for the autocorrelation (Corrfunc DDrppi convention).
     """
-    pos1 = np.asarray(pos1, np.float64)
+    if not isinstance(pos1, jax.Array):
+        pos1 = np.asarray(pos1, np.float64)
     autocorr = pos2 is None
-    pos2a = pos1 if autocorr else np.asarray(pos2, np.float64)
     rpbins = np.asarray(rpbins)
     nrp = len(rpbins) - 1
     npi = int(pimax)
@@ -337,6 +482,8 @@ def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None, method=None):
     )
     if cell is not None:
         return cell
+    pos1 = np.asarray(pos1, np.float64)
+    pos2a = pos1 if autocorr else np.asarray(pos2, np.float64)
     p1, ntile = _pad_tiles(pos1)
     counts = _count_rppi(
         jnp.asarray(p1),
@@ -354,9 +501,9 @@ def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None, method=None):
 
 def pair_counts_smu(pos1, sbins, nbins_mu, lbox, pos2=None, method=None):
     """Ordered pair counts in (s, mu) bins on a periodic box."""
-    pos1 = np.asarray(pos1, np.float64)
+    if not isinstance(pos1, jax.Array):
+        pos1 = np.asarray(pos1, np.float64)
     autocorr = pos2 is None
-    pos2a = pos1 if autocorr else np.asarray(pos2, np.float64)
     sbins = np.asarray(sbins)
     ns = len(sbins) - 1
     cell = _cell_pair_counts(
@@ -366,6 +513,8 @@ def pair_counts_smu(pos1, sbins, nbins_mu, lbox, pos2=None, method=None):
     )
     if cell is not None:
         return cell
+    pos1 = np.asarray(pos1, np.float64)
+    pos2a = pos1 if autocorr else np.asarray(pos2, np.float64)
     p1, ntile = _pad_tiles(pos1)
     counts = _count_smu(
         jnp.asarray(p1),

@@ -111,6 +111,25 @@ def test_smu_auto_vs_brute(method):
     npt.assert_array_equal(got, _brute_smu(pos, dt=dt))
 
 
+def test_device_input_matches_host():
+    """Device-resident positions (the staged API path) bin identically to
+    host numpy input, and repeated calls reuse the cached stage."""
+    import jax.numpy as jnp
+
+    from abacusutils_tpu.ops import tpcf
+
+    rng = np.random.default_rng(6)
+    pos = _points(4000, rng).astype(np.float32)  # same values on both paths
+    want = pair_counts_rppi(pos, RPBINS, PIMAX, LBOX, method='cell')
+    pos_d = jnp.asarray(pos)
+    got = pair_counts_rppi(pos_d, RPBINS, PIMAX, LBOX, method='cell')
+    npt.assert_array_equal(got, want)
+    n_stages = len(tpcf._stage_cache)
+    got2 = pair_counts_rppi(pos_d, RPBINS, PIMAX, LBOX, method='cell')
+    npt.assert_array_equal(got2, want)
+    assert len(tpcf._stage_cache) == n_stages  # second call hit the cache
+
+
 def test_wrappers_consistent():
     """xirppi/wp/multipole wrappers: wp = 2*sum_pi xi, multipoles finite,
     and a uniform random field has |xi| near 0."""
