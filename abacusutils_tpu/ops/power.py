@@ -184,15 +184,19 @@ _MODE_BIN_PLANS = {}
 
 
 class _ModeBinPlan:
-    def __init__(self, n1d, kedges2, muedges2, poles):
+    def __init__(self, n1d, kedges2, muedges2, poles, yslab=None):
+        """yslab=(y0, y1) restricts the plan to the ky rows [y0, y1) of the
+        rfft mesh — the per-device piece of a y-sharded slab FFT
+        (parallel.fft.slab_rfftn); perm indices are local to that slab."""
         Nk = len(kedges2) - 1
         Nmu = len(muedges2) - 1
         kzlen = n1d // 2 + 1
         i = np.arange(n1d)
         i2 = np.where(i < n1d // 2, i, i - n1d).astype(np.int64) ** 2
+        iy2 = i2 if yslab is None else i2[yslab[0]:yslab[1]]
         kz2 = np.arange(kzlen, dtype=np.int64) ** 2
         kmag2 = (
-            i2[:, None, None] + i2[None, :, None] + kz2[None, None, :]
+            i2[:, None, None] + iy2[None, :, None] + kz2[None, None, :]
         ).astype(np.float32)
         mu2 = np.divide(
             kz2[None, None, :].astype(np.float32),
@@ -202,7 +206,7 @@ class _ModeBinPlan:
         )
         kflat = kmag2.reshape(-1)
         muflat = mu2.reshape(-1)
-        dup = np.ones((n1d, n1d, kzlen), np.float32)
+        dup = np.ones(kmag2.shape, np.float32)
         dup[:, :, 1:] = 2.0
         dupflat = dup.reshape(-1)
 
@@ -247,11 +251,11 @@ class _ModeBinPlan:
             )
 
 
-def _get_mode_bin_plan(n1d, kedges2, muedges2, poles):
-    key = (n1d, kedges2.tobytes(), muedges2.tobytes(), tuple(poles))
+def _get_mode_bin_plan(n1d, kedges2, muedges2, poles, yslab=None):
+    key = (n1d, kedges2.tobytes(), muedges2.tobytes(), tuple(poles), yslab)
     plan = _MODE_BIN_PLANS.get(key)
     if plan is None:
-        plan = _ModeBinPlan(n1d, kedges2, muedges2, poles)
+        plan = _ModeBinPlan(n1d, kedges2, muedges2, poles, yslab=yslab)
         # keep the cache bounded: plans are ~100 MB at nmesh=512
         if len(_MODE_BIN_PLANS) > 4:
             _MODE_BIN_PLANS.clear()

@@ -103,9 +103,45 @@ def sharded_hod_pk(
     return step(halo, part, params, jnp.asarray(kedges2), jnp.asarray(muedges2))
 
 
+def _assemble_power_output(
+    wsum, psums, counts, ksum, kedges, poles, lbox, dk, nbins_k, nbins_mu
+):
+    """Host-side normalization shared by the replicated and slab paths;
+    matches calc_power's column semantics."""
+    counts = np.asarray(counts, np.float64)
+    wsum = np.asarray(wsum).reshape(nbins_k, nbins_mu)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        power = np.where(counts != 0, wsum / counts, 0.0) * lbox**3
+        k_avg = np.where(counts != 0, np.asarray(ksum) * dk / counts, 0.0)
+    out = {
+        'k_mid': 0.5 * (kedges[1:] + kedges[:-1]),
+        'k_avg': k_avg,
+        'power': power,
+        'N_mode': np.asarray(counts, np.int64),
+    }
+    if poles:
+        counts_k = out['N_mode'].sum(axis=1)
+        pole_arr = np.zeros((len(poles), nbins_k))
+        psums = np.asarray(psums)
+        j = 0
+        for i, p in enumerate(poles):
+            if p == 0:
+                pole_arr[i] = wsum.sum(axis=1)
+            else:
+                pole_arr[i] = psums[j]
+                j += 1
+        with np.errstate(invalid='ignore', divide='ignore'):
+            # (nbins_k, npoles), matching calc_power's table column layout
+            out['poles'] = (np.where(
+                counts_k[None, :] != 0, pole_arr / counts_k[None, :], 0.0
+            ) * lbox**3).T
+        out['N_mode_poles'] = counts_k
+    return out
+
+
 def calc_power_sharded(
     pos, lbox, mesh=None, kbins=None, mubins=1, k_max=None,
-    logk=False, nmesh=256, w=None, poles=(), axis='data',
+    logk=False, nmesh=256, w=None, poles=(), axis='data', slab=None,
 ):
     """P(k,mu)/P_ell with particles sharded over a device mesh.
 
@@ -115,6 +151,12 @@ def calc_power_sharded(
     cross-chip dependency is a psum of grid deposits over ICI, and the
     FFT + static mode binning run replicated on the reduced grid.
 
+    `slab` routes through the fully grid-sharded path instead
+    (parallel.fft.calc_power_sharded_slab: x-slab paint with halo exchange,
+    all-to-all transpose rfftn, y-slab binning) — ~1/n_devices grid memory
+    per chip. Default: auto (slab for nmesh >= 512, where a replicated grid
+    stops fitting comfortably).
+
     Returns a dict with k_mid, k_avg, power, N_mode (and poles/N_mode_poles
     when `poles` is given), matching calc_power's column semantics.
     """
@@ -122,6 +164,15 @@ def calc_power_sharded(
 
     if mesh is None:
         mesh = make_mesh()
+    if slab is None:
+        slab = nmesh >= 512
+    if slab:
+        from .fft import calc_power_sharded_slab
+
+        return calc_power_sharded_slab(
+            pos, lbox, mesh, kbins=kbins, mubins=mubins, k_max=k_max,
+            logk=logk, nmesh=nmesh, w=w, poles=poles, axis=axis,
+        )
     if k_max is None:
         k_max = np.pi * nmesh / lbox
     nbins_k = nmesh // 2 if kbins is None else int(kbins)
@@ -177,37 +228,10 @@ def calc_power_sharded(
     wsum, psums, _ = step(
         arrs, plan.perm, plan.bounds, plan.kbounds, plan.dup_sorted, pole_w
     )
-    counts = np.asarray(plan.counts, np.float64)
-    wsum = np.asarray(wsum).reshape(nbins_k, nbins_mu)
-    with np.errstate(invalid='ignore', divide='ignore'):
-        power = np.where(counts != 0, wsum / counts, 0.0) * lbox**3
-        k_avg = np.where(
-            counts != 0, np.asarray(plan.ksum) * dk / counts, 0.0
-        )
-    out = {
-        'k_mid': 0.5 * (kedges[1:] + kedges[:-1]),
-        'k_avg': k_avg,
-        'power': power,
-        'N_mode': np.asarray(plan.counts, np.int64),
-    }
-    if poles:
-        counts_k = out['N_mode'].sum(axis=1)
-        pole_arr = np.zeros((len(poles), nbins_k))
-        psums = np.asarray(psums)
-        j = 0
-        for i, p in enumerate(poles):
-            if p == 0:
-                pole_arr[i] = wsum.sum(axis=1)
-            else:
-                pole_arr[i] = psums[j]
-                j += 1
-        with np.errstate(invalid='ignore', divide='ignore'):
-            # (nbins_k, npoles), matching calc_power's table column layout
-            out['poles'] = (np.where(
-                counts_k[None, :] != 0, pole_arr / counts_k[None, :], 0.0
-            ) * lbox**3).T
-        out['N_mode_poles'] = counts_k
-    return out
+    return _assemble_power_output(
+        np.asarray(wsum), np.asarray(psums), np.asarray(plan.counts),
+        np.asarray(plan.ksum), kedges, poles, lbox, dk, nbins_k, nbins_mu,
+    )
 
 
 def pair_counts_rppi_sharded(
