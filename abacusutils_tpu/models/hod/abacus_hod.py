@@ -545,49 +545,61 @@ class AbacusHOD:
         )
 
     def _pair_loop(self, mock_dict, fn, symmetrize=True):
+        """Run fn over all tracer pairs. Each tracer's positions are staged
+        to the device ONCE as a single (N, 3) jax.Array — the tpcf grid
+        engine caches its cell stage per array object, so the auto + cross
+        (and wp + multipole) calls on one catalog share staging/upload."""
+        import jax.numpy as jnp
+
+        staged = {
+            tr: jnp.asarray(
+                np.stack(
+                    [d['x'], d['y'], d['z']], axis=1
+                ).astype(np.float32)
+            )
+            for tr, d in mock_dict.items()
+        }
         out = {}
         keys = list(mock_dict.keys())
         for i1, tr1 in enumerate(keys):
             for i2, tr2 in enumerate(keys):
                 if i1 > i2:
                     continue
-                out[tr1 + '_' + tr2] = fn(mock_dict[tr1], None if i1 == i2 else mock_dict[tr2])
+                out[tr1 + '_' + tr2] = fn(
+                    staged[tr1], None if i1 == i2 else staged[tr2]
+                )
                 if i1 != i2 and symmetrize:
                     out[tr2 + '_' + tr1] = out[tr1 + '_' + tr2]
         return out
 
     def compute_xirppi(self, mock_dict, rpbins, pimax, pi_bin_size, Nthread=None):
-        def fn(d1, d2):
-            kw = {}
-            if d2 is not None:
-                kw = dict(x2=d2['x'], y2=d2['y'], z2=d2['z'])
+        def fn(p1, p2):
             return calc_xirppi_fast(
-                d1['x'], d1['y'], d1['z'], rpbins, pimax, pi_bin_size, self.lbox, **kw
+                rpbins=rpbins, pimax=pimax, pi_bin_size=pi_bin_size,
+                lbox=self.lbox, pos1=p1, pos2=p2,
             )
 
         return self._pair_loop(mock_dict, fn)
 
     def compute_wp(self, mock_dict, rpbins, pimax, pi_bin_size=None, Nthread=None):
-        def fn(d1, d2):
-            kw = {}
-            if d2 is not None:
-                kw = dict(x2=d2['x'], y2=d2['y'], z2=d2['z'])
-            return calc_wp_fast(d1['x'], d1['y'], d1['z'], rpbins, pimax, self.lbox, **kw)
+        def fn(p1, p2):
+            return calc_wp_fast(
+                rpbins=rpbins, pimax=pimax, lbox=self.lbox, pos1=p1, pos2=p2
+            )
 
         return self._pair_loop(mock_dict, fn)
 
     def compute_multipole(
         self, mock_dict, rpbins, pimax, sbins, nbins_mu, orders=(0, 2), Nthread=None
     ):
-        def fn(d1, d2):
-            kw = {}
-            if d2 is not None:
-                kw = dict(x2=d2['x'], y2=d2['y'], z2=d2['z'])
+        def fn(p1, p2):
             multi = calc_multipole_fast(
-                d1['x'], d1['y'], d1['z'], sbins, self.lbox,
-                nbins_mu=nbins_mu, orders=orders, **kw
+                sbins=sbins, lbox=self.lbox, nbins_mu=nbins_mu, orders=orders,
+                pos1=p1, pos2=p2,
             )
-            wp = calc_wp_fast(d1['x'], d1['y'], d1['z'], rpbins, pimax, self.lbox, **kw)
+            wp = calc_wp_fast(
+                rpbins=rpbins, pimax=pimax, lbox=self.lbox, pos1=p1, pos2=p2
+            )
             return np.concatenate((wp, multi))
 
         return self._pair_loop(mock_dict, fn)

@@ -19,7 +19,7 @@ import yaml
 from ...io.asdf_file import open_asdf, write_asdf
 from ...metadata import get_meta
 
-__all__ = ['compress_asdf', 'get_fields', 'gaussian_filter', 'main']
+__all__ = ['compress_asdf', 'get_fields', 'get_fields_sharded', 'gaussian_filter', 'main']
 
 DEFAULTS = {'path2config': 'config/abacus_hod.yaml'}
 
@@ -151,10 +151,82 @@ def _fields_jit(delta_lin, nmesh, lbox):
     return d, d2, s2, n2
 
 
-def get_fields(delta_lin, Lbox, nmesh):
-    """Return (delta, delta^2, s^2, nabla^2 delta) (reference :336-366)."""
+def get_fields(delta_lin, Lbox, nmesh, mesh=None):
+    """Return (delta, delta^2, s^2, nabla^2 delta) (reference :336-366).
+
+    With `mesh` (a multi-device jax Mesh) the operators run grid-sharded
+    (get_fields_sharded): at zcv-scale nmesh (512-1152) a replicated f32
+    grid is 0.5-6 GiB per FIELD per chip, so the slab path is the only way
+    the pipeline scales."""
+    if mesh is not None and mesh.devices.size > 1:
+        return tuple(
+            np.asarray(f)
+            for f in get_fields_sharded(delta_lin, Lbox, nmesh, mesh)
+        )
     d, d2, s2, n2 = _fields_jit(jnp.asarray(delta_lin), int(nmesh), float(Lbox))
     return (np.asarray(d), np.asarray(d2), np.asarray(s2), np.asarray(n2))
+
+
+def get_fields_sharded(delta_lin, Lbox, nmesh, mesh, axis='data'):
+    """Multi-chip get_fields: the density grid stays sharded end to end.
+
+    delta_lin is placed as x-slabs; the forward transform is the
+    slab-transpose rfftn (parallel.fft.slab_rfftn, one all-to-all over ICI),
+    the k-space tensor ops run on the y-sharded spectrum with each device's
+    own ky rows, each inverse transform is a slab irfftn, and the field
+    means are psums. Returns four jax arrays sharded over `axis` (callers
+    keep them device-resident for the advection step, or np.asarray to
+    gather). Per-chip memory ~1/n_devices of _fields_jit."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ...parallel.fft import slab_irfftn, slab_rfftn
+
+    ndev = mesh.shape[axis]
+    if nmesh % ndev:
+        raise ValueError(f'nmesh={nmesh} must divide by n_devices={ndev}')
+    n3 = float(nmesh) ** 3
+    yl = nmesh // ndev
+    lbox = float(Lbox)
+    delta_lin = jax.device_put(
+        jnp.asarray(delta_lin, jnp.float32), NamedSharding(mesh, P(axis))
+    )
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis),
+             out_specs=(P(axis), P(axis), P(axis), P(axis)))
+    def fields(slab):
+        idx = jax.lax.axis_index(axis)
+        delta_fft = slab_rfftn(slab, axis).astype(jnp.complex64)
+
+        d = slab - jax.lax.psum(jnp.sum(slab), axis) / n3
+        d2 = slab * slab
+        d2 = d2 - jax.lax.psum(jnp.sum(d2), axis) / n3
+
+        kv, kz = _kvec(nmesh, lbox)
+        kx = kv[:, None, None]
+        ky = jax.lax.dynamic_slice(kv, (idx * yl,), (yl,))[None, :, None]
+        kzz = kz[None, None, :]
+        k2 = kx**2 + ky**2 + kzz**2
+        inv_k2 = jnp.where(k2 > 0, 1.0 / k2, 0.0)
+        third = jnp.float32(1.0 / 3.0)
+        comps = (
+            (kx * kx * inv_k2 - third, 1.0),
+            (kx * ky * inv_k2, 2.0),
+            (kx * kzz * inv_k2, 2.0),
+            (ky * ky * inv_k2 - third, 1.0),
+            (ky * kzz * inv_k2, 2.0),
+            (kzz * kzz * inv_k2 - third, 1.0),
+        )
+        s2 = jnp.zeros_like(slab)
+        for w, factor in comps:
+            sij = slab_irfftn(delta_fft * w, axis, nmesh)
+            s2 = s2 + jnp.float32(factor) * sij * sij
+        s2 = s2 - jax.lax.psum(jnp.sum(s2), axis) / n3
+
+        n2 = slab_irfftn(-k2 * delta_fft, axis, nmesh).astype(jnp.float32)
+        return d, d2, s2, n2
+
+    return fields(delta_lin)
 
 
 def main(path2config, alt_simname=None, verbose=False):

@@ -24,6 +24,7 @@ from .grid import paint_3d
 
 __all__ = [
     'calc_power',
+    'StagedPower',
     'calc_pk_from_deltak',
     'pk_to_xi',
     'project_3d_to_poles',
@@ -729,7 +730,16 @@ def calc_power(
         field2_fft = get_field_fft(
             pos2, Lbox, nmesh, paste, w2, W, compensated, interlaced, dtype=dtype
         )
+    return _spectrum_table(
+        field_fft, field2_fft, Lbox, kbins, mubins, k_max, logk, poles,
+        squeeze_mu_axis, return_mubins, meta,
+    )
 
+
+def _spectrum_table(field_fft, field2_fft, Lbox, kbins, mubins, k_max, logk,
+                    poles, squeeze_mu_axis, return_mubins, meta):
+    """Bin a Fourier field into calc_power's output Table (shared by
+    calc_power and StagedPower)."""
     poles = np.asarray(poles if poles is not None else [], dtype=np.int64)
     kbins, mubins = get_k_mu_edges(Lbox, k_max, kbins, mubins, logk)
     P = calc_pk_from_deltak(
@@ -763,3 +773,120 @@ def calc_power(
         )
     res = {k: np.asarray(v) for k, v in res.items()}
     return Table(res, meta=meta, copy=False)
+
+
+class StagedPower:
+    """Staging for repeated P(k) measurements of one catalog.
+
+    ``calc_power`` is a one-shot API: each call re-runs the host-side
+    paint grouping and re-transfers positions to the device, which dominates
+    wall time when it is called in a loop (parameter scans, many spectra of
+    one snapshot — the reference's numba paint re-reads host RAM every call
+    too, power_spectrum.py:1131-1319, but at PCIe-less cost). StagedPower
+    does the grouping and upload ONCE; each ``.power()`` call then runs only
+    jitted device work on the staged arrays.
+
+    RSD loops: ``power(pz=...)`` overrides the z coordinates per call —
+    the (x-cell, y-block) paint grouping never depends on z, so only the
+    new z column is (re)staged. Pass a jax.Array to keep that on device.
+
+    TSC paste only (the MXU deposit path); interlacing is not supported in
+    staged form (its shifted paint needs a second grouping) — use
+    calc_power for interlaced one-shots.
+    """
+
+    def __init__(self, pos, lbox, nmesh=256, w=None, paste='TSC'):
+        from .grid import default_yblock
+        from .grid_pallas import build_paint_plan2d
+
+        if paste.upper() != 'TSC':
+            raise ValueError('StagedPower supports TSC paste only')
+        pos = np.asarray(pos)
+        self.lbox = float(lbox)
+        self.nmesh = int(nmesh)
+        self.n_part = len(pos)
+        B = default_yblock(nmesh)
+        occ = self.n_part // (nmesh * (nmesh // B)) + 1
+        self._chunk = int(min(8192, max(512, 1 << (occ.bit_length() - 1))))
+        plan = build_paint_plan2d(
+            pos[:, 0], pos[:, 1], nmesh, lbox, yb=B, chunk=self._chunk
+        )
+        self._plan = plan
+        pad = np.asarray(plan.pad_idx)  # (ncell, K) grouped layout
+        self._pad = pad
+
+        def stage(col):
+            ext = np.concatenate(
+                [np.asarray(col, np.float32), np.zeros(1, np.float32)]
+            )
+            return jnp.asarray(ext[pad])
+
+        self._xg = stage(pos[:, 0])
+        self._yg = stage(pos[:, 1])
+        self._zg = stage(pos[:, 2])
+        self._wg = stage(np.ones(self.n_part, np.float32) if w is None else w)
+        self._pad_dev = None  # device copy of pad, built on first device pz
+        self._is_weighted = w is not None
+
+    def _staged_z(self, pz):
+        if pz is None:
+            return self._zg
+        if isinstance(pz, jax.Array):
+            if self._pad_dev is None:
+                self._pad_dev = jnp.asarray(self._pad)
+            ext = jnp.concatenate(
+                [pz.astype(jnp.float32), jnp.zeros(1, jnp.float32)]
+            )
+            return ext[self._pad_dev]
+        ext = np.concatenate(
+            [np.asarray(pz, np.float32), np.zeros(1, np.float32)]
+        )
+        return jnp.asarray(ext[self._pad])
+
+    def field_fft(self, compensated=True, pz=None):
+        """Fourier overdensity of the staged catalog (optionally with a
+        per-call z column). Matches get_field_fft(interlaced=False)."""
+        from .grid import _paint_planned_yb_jit
+
+        p = self._plan
+        grid = _paint_planned_yb_jit(
+            self._xg, self._yg, self._staged_z(pz), self._wg,
+            p.box, p.offset, p.nmesh, p.yb, p.K, self._chunk,
+        )
+        delta = grid * jnp.float32(grid.size / self.n_part) - jnp.float32(1.0)
+        fft = jnp.fft.rfftn(delta) * jnp.float32(1.0 / grid.size)
+        if compensated:
+            W = jnp.asarray(
+                get_W_compensated(self.lbox, self.nmesh, 'TSC', False).astype(
+                    np.float32
+                )
+            )
+            fft = fft / (
+                W[:, None, None] * W[None, :, None]
+                * W[None, None, :self.nmesh // 2 + 1]
+            )
+        return fft
+
+    def power(self, kbins=None, mubins=None, k_max=None, logk=False,
+              compensated=True, poles=None, squeeze_mu_axis=True, pz=None):
+        """One staged P(k,mu)/P_ell measurement; same output Table as
+        calc_power(..., interlaced=False)."""
+        nmesh, lbox = self.nmesh, self.lbox
+        if kbins is None:
+            kbins = nmesh
+        if k_max is None:
+            k_max = np.pi * nmesh / lbox
+        return_mubins = mubins is not None
+        if mubins is None:
+            mubins = 1
+        meta = dict(
+            Lbox=lbox, logk=logk, paste='TSC', nmesh=nmesh,
+            compensated=compensated, interlaced=False, poles=poles,
+            N_pos=self.n_part, is_weighted=self._is_weighted,
+            squeeze_mu_axis=squeeze_mu_axis,
+        )
+        fft = self.field_fft(compensated=compensated, pz=pz)
+        return _spectrum_table(
+            fft, None, lbox, kbins, mubins, k_max, logk, poles,
+            squeeze_mu_axis, return_mubins, meta,
+        )

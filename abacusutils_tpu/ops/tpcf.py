@@ -397,7 +397,7 @@ _CELL_MIN_N = 100_000  # below this the O(N^2) tiled kernel wins on latency
 # staging reuse across calls on the SAME device array (wp + xi(rp,pi) +
 # multipoles on one catalog share the cell sort and layouts). Only jax.Arrays
 # are cached: they are immutable, so object identity implies identical data.
-_STAGE_CACHE_LEN = 4
+_STAGE_CACHE_LEN = 8  # tracers x {rppi, smu} grids in a multi-tracer loop
 _stage_cache = []
 
 
@@ -559,9 +559,23 @@ def tpcf_multipole(s_mu_tcpf_result, mu_bins, order=0):
     )
 
 
+def _resolve_pos(x1, y1, z1, x2, y2, z2, pos1, pos2):
+    """Reference API takes x1/y1/z1 columns; pos1/pos2 are the staged
+    extension — pass the same (N, 3) jax.Array across calls (wp + xi +
+    multipoles on one catalog) and the grid engine reuses its cell stage."""
+    if pos1 is None:
+        pos1 = np.stack([x1, y1, z1], axis=1)
+    if pos2 is None and x2 is not None:
+        pos2 = np.stack([x2, y2, z2], axis=1)
+    ND1 = float(len(pos1))
+    ND2 = ND1 if pos2 is None else float(len(pos2))
+    return pos1, pos2, ND1, ND2
+
+
 def calc_xirppi_fast(
-    x1, y1, z1, rpbins, pimax, pi_bin_size, lbox, Nthread=None,
-    num_cells=None, x2=None, y2=None, z2=None,
+    x1=None, y1=None, z1=None, rpbins=None, pimax=None, pi_bin_size=None,
+    lbox=None, Nthread=None, num_cells=None, x2=None, y2=None, z2=None,
+    pos1=None, pos2=None,
 ):
     """xi(rp, pi) with analytic RR (reference calc_xirppi_fast:97-203)."""
     if not isinstance(pimax, int):
@@ -571,14 +585,7 @@ def calc_xirppi_fast(
     if pimax % pi_bin_size != 0:
         raise ValueError('pi_bin_size needs to be an integer divisor of pimax')
 
-    ND1 = float(len(x1))
-    pos1 = np.stack([x1, y1, z1], axis=1)
-    if x2 is not None:
-        pos2 = np.stack([x2, y2, z2], axis=1)
-        ND2 = len(x2)
-    else:
-        pos2 = None
-        ND2 = ND1
+    pos1, pos2, ND1, ND2 = _resolve_pos(x1, y1, z1, x2, y2, z2, pos1, pos2)
 
     DD = pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=pos2)
     DD = DD.reshape(len(rpbins) - 1, pimax // pi_bin_size, pi_bin_size).sum(axis=2)
@@ -591,20 +598,14 @@ def calc_xirppi_fast(
 
 
 def calc_wp_fast(
-    x1, y1, z1, rpbins, pimax, lbox, Nthread=None, num_cells=None,
-    x2=None, y2=None, z2=None,
+    x1=None, y1=None, z1=None, rpbins=None, pimax=None, lbox=None,
+    Nthread=None, num_cells=None, x2=None, y2=None, z2=None,
+    pos1=None, pos2=None,
 ):
     """wp(rp) = 2 sum_pi xi(rp, pi) (reference calc_wp_fast:301-372)."""
     if not isinstance(pimax, int):
         raise ValueError('pimax needs to be an integer')
-    ND1 = float(len(x1))
-    pos1 = np.stack([x1, y1, z1], axis=1)
-    if x2 is not None:
-        pos2 = np.stack([x2, y2, z2], axis=1)
-        ND2 = len(x2)
-    else:
-        pos2 = None
-        ND2 = ND1
+    pos1, pos2, ND1, ND2 = _resolve_pos(x1, y1, z1, x2, y2, z2, pos1, pos2)
 
     DD = pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=pos2)
     rpbins = np.asarray(rpbins)
@@ -614,18 +615,12 @@ def calc_wp_fast(
 
 
 def calc_multipole_fast(
-    x1, y1, z1, sbins, lbox, Nthread=None, nbins_mu=50, num_cells=None,
-    x2=None, y2=None, z2=None, orders=(0, 2),
+    x1=None, y1=None, z1=None, sbins=None, lbox=None, Nthread=None,
+    nbins_mu=50, num_cells=None, x2=None, y2=None, z2=None, orders=(0, 2),
+    pos1=None, pos2=None,
 ):
     """xi_ell(s) from (s,mu) counts (reference calc_multipole_fast:206-298)."""
-    ND1 = float(len(x1))
-    pos1 = np.stack([x1, y1, z1], axis=1)
-    if x2 is not None:
-        pos2 = np.stack([x2, y2, z2], axis=1)
-        ND2 = len(x2)
-    else:
-        pos2 = None
-        ND2 = ND1
+    pos1, pos2, ND1, ND2 = _resolve_pos(x1, y1, z1, x2, y2, z2, pos1, pos2)
 
     DD = pair_counts_smu(pos1, sbins, nbins_mu, lbox, pos2=pos2)
     sbins = np.asarray(sbins)

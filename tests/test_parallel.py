@@ -158,3 +158,25 @@ def test_pair_counts_sharded_matches_single():
     dd_s = pair_counts_rppi_sharded(pos, rpbins, 20, lbox, mesh=make_mesh(), pos2=pos2)
     dd = pair_counts_rppi(pos, rpbins, 20, lbox, pos2=pos2, method='tile')
     npt.assert_array_equal(dd_s, dd)
+
+
+def test_zcv_fields_sharded_matches_single():
+    """get_fields_sharded (slab FFT route for zcv-scale meshes) matches the
+    single-device operators on the 8-device mesh."""
+    from abacusutils_tpu.models.zcv.ic_fields import get_fields, get_fields_sharded
+
+    rng = np.random.default_rng(14)
+    nmesh, lbox = 32, 100.0
+    dens = rng.standard_normal((nmesh, nmesh, nmesh)).astype(np.float32)
+
+    want = get_fields(dens, lbox, nmesh)
+    got = [np.asarray(f) for f in get_fields_sharded(dens, lbox, nmesh, make_mesh())]
+    names = ['delta', 'delta^2', 's^2', 'nabla^2 delta']
+    for g, w, name in zip(got, want, names):
+        scale = np.abs(w).max()
+        npt.assert_allclose(g, w, atol=2e-5 * scale, rtol=1e-4, err_msg=name)
+
+    # the mesh= kwarg on get_fields routes through the sharded path
+    via_kwarg = get_fields(dens, lbox, nmesh, mesh=make_mesh())
+    for g, w in zip(via_kwarg, got):
+        npt.assert_array_equal(g, np.asarray(w))

@@ -157,3 +157,48 @@ def test_get_k_mu_edges():
     assert len(mub) == 5 and mub[0] == 0 and mub[-1] == 1
     kb, _ = get_k_mu_edges(1000.0, 0.5, 10, 4, True)
     assert kb[0] > 0
+
+
+def test_staged_power_matches_calc_power():
+    """StagedPower: stage once, measure repeatedly (incl. per-call RSD z
+    override) — same Table as calc_power(interlaced=False)."""
+    import jax.numpy as jnp
+    import numpy.testing as npt
+
+    from abacusutils_tpu.ops.power import StagedPower
+
+    rng = np.random.default_rng(21)
+    n, nmesh, Lbox = 150_000, 32, 500.0
+    pos = (rng.random((n, 3)) * Lbox).astype(np.float32)
+    w = rng.random(n).astype(np.float32)
+
+    staged = StagedPower(pos, Lbox, nmesh=nmesh, w=w)
+    got = staged.power(kbins=16, mubins=2, poles=[0, 2], compensated=True)
+    want = calc_power(
+        pos, Lbox, kbins=16, mubins=2, k_max=np.pi * nmesh / Lbox,
+        nmesh=nmesh, paste='TSC', compensated=True, interlaced=False,
+        w=w, poles=[0, 2],
+    )
+    npt.assert_allclose(
+        np.asarray(got['power']), np.asarray(want['power']), rtol=2e-4
+    )
+    npt.assert_array_equal(np.asarray(got['N_mode']), np.asarray(want['N_mode']))
+    pw = np.asarray(want['poles'])
+    npt.assert_allclose(
+        np.asarray(got['poles']), pw, rtol=2e-4, atol=2e-4 * np.abs(pw).max()
+    )
+
+    # per-call z override (host and device forms), vs repainting from scratch
+    z2 = (pos[:, 2] + 5.0) % Lbox
+    pos2 = pos.copy()
+    pos2[:, 2] = z2
+    want2 = calc_power(
+        pos2, Lbox, kbins=16, mubins=2, k_max=np.pi * nmesh / Lbox,
+        nmesh=nmesh, paste='TSC', compensated=True, interlaced=False,
+        w=w, poles=[0, 2],
+    )
+    for pz in (z2, jnp.asarray(z2)):
+        got2 = staged.power(kbins=16, mubins=2, poles=[0, 2], pz=pz)
+        npt.assert_allclose(
+            np.asarray(got2['power']), np.asarray(want2['power']), rtol=2e-4
+        )
