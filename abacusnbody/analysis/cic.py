@@ -1,3 +1,3 @@
 """Compat alias for abacusnbody.analysis.cic."""
 
-from abacusutils_tpu.ops.grid import cic_serial  # noqa: F401
+from abacusutils_tpu.ops.grid import cic_serial, rightwrap  # noqa: F401

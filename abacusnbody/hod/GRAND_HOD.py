@@ -1,9 +1,19 @@
 """Compat alias for abacusnbody.hod.GRAND_HOD (population kernels/shapes)."""
 
+from abacusutils_tpu.models.hod.nfw import (  # noqa: F401
+    Phi_fun,
+    compute_fast_NFW,
+    gen_sats_nfw,
+    getPointsOnSphere,
+    phi_fun,
+)
 from abacusutils_tpu.models.hod.population import (  # noqa: F401
+    fast_concatenate,
     gen_cent,
+    gen_gal_cat,
     gen_gals,
     gen_sats,
+    wrap,
 )
 from abacusutils_tpu.models.hod.shapes import (  # noqa: F401
     Gaussian_fun,

@@ -1,3 +1,4 @@
 """Compat alias for abacusnbody.hod.zcv.linear_fields."""
 
 from abacusutils_tpu.models.zcv.linear_fields import *  # noqa: F401,F403
+from abacusutils_tpu.models.hod.utils import ArgParseFormatter  # noqa: F401,E402

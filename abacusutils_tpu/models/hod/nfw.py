@@ -14,7 +14,91 @@ import numpy as np
 
 from . import shapes_np
 
-__all__ = ['gen_sats_nfw']
+__all__ = ['gen_sats_nfw', 'getPointsOnSphere', 'compute_fast_NFW', 'phi_fun', 'Phi_fun']
+
+
+def getPointsOnSphere(nPoints, Nthread=None, seed=None):
+    """Random unit vectors (reference GRAND_HOD.py:418-442 API; drawn from a
+    PCG64 stream rather than the reference's per-thread streams)."""
+    rng = np.random.default_rng(seed)
+    return _points_on_sphere(int(nPoints), rng)
+
+
+def phi_fun(logM_h, logM_cut, sigma):
+    """Gaussian aiding function for N_cen_ELG_v1 (reference GRAND_HOD.py:102-107)."""
+    from .shapes_np import Gaussian_fun
+
+    return Gaussian_fun(logM_h, logM_cut, sigma)
+
+
+def Phi_fun(logM_h, logM_cut, sigma, gamma):
+    """Skew-normal CDF factor for N_cen_ELG_v1 (reference GRAND_HOD.py:110-117)."""
+    from scipy.special import erf
+
+    x = gamma * (logM_h - logM_cut) / sigma
+    return 0.5 * (1 + erf(x / np.sqrt(2)))
+
+
+def compute_fast_NFW(
+    NFW_draw,
+    h_id,
+    x_h,
+    y_h,
+    z_h,
+    vx_h,
+    vy_h,
+    vz_h,
+    vrms_h,
+    c,
+    M,
+    Rvir,
+    rd_pos,
+    num_sat,
+    f_sigv,
+    vel_sat='rd_normal',
+    Nthread=16,
+    exp_frac=0,
+    exp_scale=1,
+    nfw_rescale=1,
+    seed=None,
+):
+    """NFW satellite positions/velocities (reference GRAND_HOD.py:445-521
+    semantics, vectorized; random streams are PCG64, not the reference's
+    per-thread numba streams)."""
+    if vel_sat != 'rd_normal':
+        raise ValueError('Wrong vel_sat argument only "rd_normal"')
+    rng = np.random.default_rng(seed)
+    num_sat = np.asarray(num_sat, np.int64)
+    rep = lambda a: np.repeat(np.asarray(a), num_sat)  # noqa: E731
+    h_id, M, c, Rvir = rep(h_id), rep(M), rep(c), rep(Rvir)
+    x_h, y_h, z_h = rep(x_h), rep(y_h), rep(z_h)
+    vx_h, vy_h, vz_h, vrms_h = rep(vx_h), rep(vy_h), rep(vz_h), rep(vrms_h)
+    n = len(x_h)
+
+    # radial draw: exponential tail with prob exp_frac, else rejection from
+    # the tabulated NFW inverse-CDF draws until draw <= c
+    eta = np.empty(n)
+    use_exp = rng.uniform(0, 1, n) < exp_frac
+    eta[use_exp] = rng.exponential(exp_scale, use_exp.sum()) / c[use_exp]
+    todo = np.flatnonzero(~use_exp)
+    draw = NFW_draw[rng.integers(0, len(NFW_draw), len(todo))]
+    while True:
+        ok = draw <= c[todo]
+        eta[todo[ok]] = draw[ok] / c[todo[ok]] * nfw_rescale
+        todo = todo[~ok]
+        if not len(todo):
+            break
+        draw = NFW_draw[rng.integers(0, len(NFW_draw), len(todo))]
+
+    p = eta * Rvir
+    x_sat = x_h + rd_pos[:n, 0] * p
+    y_sat = y_h + rd_pos[:n, 1] * p
+    z_sat = z_h + rd_pos[:n, 2] * p
+    sig = vrms_h * 0.577 * f_sigv
+    vx_sat = rng.normal(vx_h, sig)
+    vy_sat = rng.normal(vy_h, sig)
+    vz_sat = rng.normal(vz_h, sig)
+    return h_id, x_sat, y_sat, z_sat, vx_sat, vy_sat, vz_sat, M
 
 
 def _points_on_sphere(n, rng):

@@ -273,6 +273,67 @@ def prepare_tracer_params(tracers, z):
     return out
 
 
+def wrap(x, L):
+    """Scalar periodic wrap into [-L/2, L/2) (reference GRAND_HOD.py:129-136)."""
+    L2 = L / 2
+    if x >= L2:
+        return x - L
+    if x < -L2:
+        return x + L
+    return x
+
+
+def fast_concatenate(array1, array2, Nthread=1):
+    """Concatenate two arrays (reference GRAND_HOD.py:1266-1299 is a
+    numba-parallel copy; a single np.concatenate is the host equivalent)."""
+    if len(array1) == 0:
+        return array2
+    if len(array2) == 0:
+        return array1
+    return np.concatenate([array1, array2])
+
+
+def gen_gal_cat(
+    halo_data,
+    particle_data,
+    tracers,
+    params,
+    Nthread=16,
+    enable_ranks=False,
+    rsd=True,
+    nfw=False,
+    NFW_draw=None,
+    write_to_disk=False,
+    savedir='./',
+    verbose=False,
+    fn_ext=None,
+):
+    """gen_gals plus optional per-tracer ECSV output (reference
+    GRAND_HOD.py:1595-1715 contract: same signature, same galaxies_rsd
+    directory layout and {tracer}s.dat filenames)."""
+    from pathlib import Path
+
+    from ...io.table import Table
+
+    if not isinstance(rsd, bool):
+        raise ValueError('Error: rsd has to be a boolean')
+    HOD_dict = gen_gals(
+        halo_data, particle_data, tracers, params, Nthread,
+        enable_ranks, rsd, verbose, nfw, NFW_draw,
+    )
+    if write_to_disk and tracers:
+        rsd_string = '_rsd' if rsd else ''
+        outdir = Path(savedir) / ('galaxies' + rsd_string + (fn_ext or ''))
+        outdir.mkdir(parents=True, exist_ok=True)
+        for tracer in tracers:
+            td = dict(HOD_dict[tracer])
+            Ncent = td.pop('Ncent')
+            Table(
+                td, meta={'Ncent': Ncent, 'Gal_type': tracer, **tracers[tracer]}
+            ).write(outdir / f'{tracer}s.dat')
+    return HOD_dict
+
+
 def gen_gals(
     halos_array,
     subsample,

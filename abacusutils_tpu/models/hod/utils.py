@@ -6,7 +6,7 @@ import sys
 import time
 import traceback
 
-__all__ = ['setup_logging', 'exception_handler']
+__all__ = ['setup_logging', 'exception_handler', 'mkdir', 'ArgParseFormatter']
 
 
 class ElapsedTimeFormatter(logging.Formatter):
@@ -51,3 +51,20 @@ def exception_handler(exc_type, exc_value, exc_traceback):
     )
     if exc_type is KeyboardInterrupt:
         sys.__excepthook__(exc_type, exc_value, exc_traceback)
+
+
+def mkdir(dirname):
+    """mkdir -p (reference hod/utils.py:115-121)."""
+    import os
+
+    os.makedirs(dirname, exist_ok=True)
+
+
+import argparse
+
+
+class ArgParseFormatter(
+    argparse.RawDescriptionHelpFormatter, argparse.ArgumentDefaultsHelpFormatter
+):
+    """Help formatter shared by the CLI drivers (reference defines one per
+    driver module; all shims re-export this one)."""

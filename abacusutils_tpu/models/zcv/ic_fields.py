@@ -19,7 +19,11 @@ import yaml
 from ...io.asdf_file import open_asdf, write_asdf
 from ...metadata import get_meta
 
-__all__ = ['compress_asdf', 'get_fields', 'get_fields_sharded', 'gaussian_filter', 'main']
+__all__ = [
+    'compress_asdf', 'get_fields', 'get_fields_sharded', 'gaussian_filter',
+    'main', 'add_ij', 'filter_field', 'get_dk_to_n2', 'get_dk_to_s2',
+    'get_n2_fft', 'get_sij_fft', 'load_dens', 'load_disp',
+]
 
 DEFAULTS = {'path2config': 'config/abacus_hod.yaml'}
 

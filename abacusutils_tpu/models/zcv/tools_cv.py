@@ -34,7 +34,9 @@ __all__ = [
     'combine_spectra', 'combine_cross_spectra', 'combine_kaiser_spectra',
     'combine_cross_kaiser_spectra', 'get_poles', 'multipole_cov',
     'measure_2pt_bias', 'measure_2pt_bias_lcv', 'read_power_dict',
-    'run_zcv', 'run_zcv_field', 'run_lcv', 'run_lcv_field',
+    'run_zcv', 'run_zcv_field', 'run_lcv', 'run_lcv_field', 'get_cfg',
+    'combine_field_spectra_k3D', 'combine_field_cross_spectra_k3D',
+    'combine_field_spectra_k3D_lcv',
 ]
 
 ZCV_FIELDS = np.array(['1cb', 'delta', 'delta2', 'tidal2', 'nabla2'])

@@ -19,7 +19,7 @@ from ...metadata import get_meta
 from ...ops.power import get_k_mu_edges
 from .cosmo import growth_factors
 
-__all__ = ['periodic_window_function', 'zenbu_spectra', 'main']
+__all__ = ['periodic_window_function', 'zenbu_spectra', 'main', 'meshgrid']
 
 
 def periodic_window_function(nmesh, lbox, kout, kin, k2weight=True):
@@ -203,3 +203,17 @@ def main(path2config, alt_simname=None, want_xi=False):
         pk_ij_zenbu, _ = zenbu_spectra(k_binc, z_this, cfg, kth, p_m_lin, rsd=want_rsd)
         np.savez(zenbu_fn, pk_ij_zenbu=pk_ij_zenbu, k_binc=k_binc, kcut=kcut)
         print('Saved ZeNBu templates', zenbu_fn)
+
+
+def meshgrid(x, y, z):
+    """3D mesh with the reference's (y, x, z) output shape and per-axis
+    assignment quirk (zenbu_window.py:32-47: xx[i,j,k]=x[i], yy[i,j,k]=y[j],
+    zz[i,j,k]=z[k]; callers use equal-length axes)."""
+    shape = (y.size, x.size, z.size)
+    xx = np.empty(shape, dtype=x.dtype)
+    yy = np.empty(shape, dtype=y.dtype)
+    zz = np.empty(shape, dtype=z.dtype)
+    xx[:] = x[: y.size, None, None]
+    yy[:] = y[None, : x.size, None]
+    zz[:] = z[None, None, :]
+    return xx, yy, zz

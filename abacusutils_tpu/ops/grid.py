@@ -477,6 +477,14 @@ def tsc_parallel(
     return None
 
 
+def rightwrap(x, L):
+    """x - L where x >= L (reference cic.py:7-10; accepts scalars or arrays)."""
+    import numpy as _np
+
+    res = _np.where(_np.asarray(x) >= L, _np.asarray(x) - L, x)
+    return res.item() if res.ndim == 0 else res
+
+
 def cic_serial(positions, density, boxsize, weights=None):
     """CIC mass assignment (reference cic.py:13-126 contract: accumulates
     into `density` in place, no wrapping applied)."""

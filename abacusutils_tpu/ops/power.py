@@ -47,6 +47,26 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 
+def factorial(n):
+    """n! for 0 <= n <= 20 (reference power_spectrum.py:58-77 contract)."""
+    if n < 0 or n > 20:
+        raise ValueError('n must be in [0, 20]')
+    return math.factorial(int(n))
+
+
+def factorial_slow(x):
+    """Brute-force factorial (reference power_spectrum.py:80-98)."""
+    out = 1
+    for i in range(2, int(x) + 1):
+        out *= i
+    return out
+
+
+def n_choose_k(n, k):
+    """Binomial coefficient (reference power_spectrum.py:101-118)."""
+    return factorial(n) // (factorial(k) * factorial(n - k))
+
+
 def _legendre_coeffs(n):
     """[(coef, half_power)] such that P_n(mu) = sum coef * (mu^2)^(half_power/2)
     with half_power = n - 2k."""
