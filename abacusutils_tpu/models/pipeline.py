@@ -18,7 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.power import _bin_kmu_sums, _get_mode_bin_plan, _segsum_sorted
+from ..ops.power import _bin_kmu_sums, _get_mode_bin_plan, _segsum_matmul
 from .hod import shapes
 
 __all__ = [
@@ -38,8 +38,9 @@ __all__ = [
 
 
 def make_bin_plan_arrays(nmesh, lbox, nbins_k):
-    """Precompute the mode-binning plan arrays (perm, bounds, dup_sorted) and
-    the bin counts for a monopole P(k) measurement."""
+    """Precompute the mode-binning plan (the per-mode bin index for the
+    one-hot matmul reduction) and the bin counts for a monopole P(k)
+    measurement."""
     import numpy as np
 
     from ..ops.power import get_k_mu_edges
@@ -52,7 +53,7 @@ def make_bin_plan_arrays(nmesh, lbox, nbins_k):
         (muedges**2).astype(np.float32),
         (),
     )
-    return (plan.perm, plan.bounds, plan.dup_sorted), np.asarray(plan.counts).reshape(-1)
+    return (plan.seg,), np.asarray(plan.counts).reshape(-1)
 
 HALO_KEYS = ('x', 'y', 'z', 'vz', 'mass', 'multis', 'randoms', 'vdevz', 'deltac', 'fenv')
 PART_KEYS = ('x', 'y', 'z', 'vz', 'hvelz', 'hmass', 'weights', 'randoms', 'deltac', 'fenv')
@@ -235,8 +236,8 @@ def hod_pk_fused_pallas(
         )
     p3d = jnp.abs(delta_k) ** 2
 
-    perm, bounds, dup_sorted = binplan
-    wsum = _segsum_sorted(p3d.reshape(-1)[perm] * dup_sorted, bounds)
+    (seg,) = binplan
+    wsum = _segsum_matmul(p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1)
     return wsum, n_gal
 
 
@@ -281,8 +282,8 @@ def hod_pk_fused_planned(
         )
     p3d = jnp.abs(delta_k) ** 2
 
-    perm, bounds, dup_sorted = binplan
-    wsum = _segsum_sorted(p3d.reshape(-1)[perm] * dup_sorted, bounds)
+    (seg,) = binplan
+    wsum = _segsum_matmul(p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1)
     return wsum, n_gal
 
 
@@ -333,8 +334,8 @@ def hod_pk_fused_yb(
         )
     p3d = jnp.abs(delta_k) ** 2
 
-    perm, bounds, dup_sorted = binplan
-    wsum = _segsum_sorted(p3d.reshape(-1)[perm] * dup_sorted, bounds)
+    (seg,) = binplan
+    wsum = _segsum_matmul(p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1)
     return wsum, n_gal
 
 
@@ -442,7 +443,7 @@ def hod_pk_fused_multi(
     tr, _ = populate_weights_multi(halo_g, part_g, params, want, rsd, inv_velz2kms)
 
     half_l = jnp.float32(lbox) / 2
-    perm, bounds, dup_sorted = binplan
+    (seg,) = binplan
     deltas = {}
     n_gal = {}
     for tracer in want:
@@ -480,8 +481,8 @@ def hod_pk_fused_multi(
     for i, t1 in enumerate(want):
         for t2 in want[i:]:
             p3d = (deltas[t1] * jnp.conj(deltas[t2])).real
-            spectra[(t1, t2)] = _segsum_sorted(
-                p3d.reshape(-1)[perm] * dup_sorted, bounds
+            spectra[(t1, t2)] = _segsum_matmul(
+                p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1
             )
     return spectra, n_gal
 

@@ -13,6 +13,13 @@ Per grid step (cell c, chunk t): particles' A = w*wx_ox*wy_oy one-hot over
 out[c] += A^T @ Wz accumulates in VMEM across chunks. A cheap XLA fold then
 shifts the per-cell (3 x-planes, yb+2 ghost columns) blocks into the global
 grid (no write races: the fold owns the only adds).
+
+STATUS: experimental — the kernel is correct (interpret-mode tested) but
+does NOT beat the XLA planned paint (0.31-0.37 s vs 0.265 s / 30M at
+nmesh=256 on v5e; it is one-hot-construction bound on the VPU, not MXU
+bound), so the bench and get_field use ops.grid.paint_planned2. The host
+grouping half of this module (build_paint_plan2d / PaintPlan2D) IS the
+production staging path for the planned paint.
 """
 
 from functools import partial
