@@ -489,7 +489,7 @@ def get_field(pos, Lbox, nmesh, paste, w=None, d=0.0, nthread=None, dtype=np.flo
         B = default_yblock(nmesh)
         # chunk scales with expected bucket occupancy to bound padding waste
         occ = len(pos) // (nmesh * (nmesh // B)) + 1
-        chunk = int(min(8192, max(512, 1 << (occ.bit_length() - 1))))
+        chunk = int(min(32768, max(512, 1 << occ.bit_length())))
         plan = build_paint_plan2d(
             pos[:, 0], pos[:, 1], nmesh, Lbox, yb=B, offset=d, chunk=chunk
         )

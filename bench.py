@@ -24,8 +24,8 @@ N_HALO = 10_000_000
 N_PART = 50_000_000
 LBOX = 2000.0
 NMESH = 256
-CHUNK = 8192  # particle deposit K-tile; larger tiles amortize loop overhead
-CHUNK_H = 2048  # halo deposit K-tile (lower bucket occupancy)
+CHUNK = 32768  # particle deposit K-tile; one tile per cell minimizes loop overhead
+CHUNK_H = 8192  # halo deposit K-tile (lower bucket occupancy)
 YBLOCK = 32  # y-block height of the deposit grouping
 
 
