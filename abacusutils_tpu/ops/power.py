@@ -262,15 +262,16 @@ class _ModeBinPlan:
         ).astype(np.int32)
         self.kbounds = jnp.asarray(self.kbounds)
         self.pole_w = {}
+        self.pole_w_flat = {}
         for pole in poles:
             if pole == 0:
                 continue
             pw = np.zeros_like(muflat)
             for c, p in _legendre_coeffs(pole):
                 pw += c * muflat ** (0.5 * p) if p % 2 else c * muflat ** (p // 2)
-            self.pole_w[pole] = jnp.asarray(
-                ((2 * pole + 1) * pw * dupflat)[perm].astype(np.float32)
-            )
+            pwd = ((2 * pole + 1) * pw * dupflat).astype(np.float32)
+            self.pole_w[pole] = jnp.asarray(pwd[perm])
+            self.pole_w_flat[pole] = jnp.asarray(pwd)  # matmul-binning path
 
 
 def _get_mode_bin_plan(n1d, kedges2, muedges2, poles, yslab=None):
@@ -286,7 +287,7 @@ def _get_mode_bin_plan(n1d, kedges2, muedges2, poles, yslab=None):
 
 
 @partial(jax.jit, static_argnames=('nbins', 'kzlen', 'chunk'))
-def _segsum_matmul(wflat, seg, nbins, kzlen, chunk=1 << 20):
+def _segsum_matmul(wflat, seg, nbins, kzlen, chunk=1 << 20, pole_w=()):
     """Weighted bin sums as a chunked one-hot contraction on the MXU.
 
     TPU element gathers run at ~0.1 G/s, so the sort-plan path (gather by
@@ -295,33 +296,42 @@ def _segsum_matmul(wflat, seg, nbins, kzlen, chunk=1 << 20):
     when nbins is small. Exactness: the weights are split hi/lo into two
     bf16 passes (f32-fidelity, MXU accumulates in f32); the hermitian dup
     factor (2 for kz>0) is applied on the fly from each mode's kz index;
-    invalid modes carry seg == nbins and match no one-hot column."""
+    invalid modes carry seg == nbins and match no one-hot column.
+
+    Additional per-mode weight arrays in `pole_w` (dup already folded in,
+    e.g. Legendre pole weights) ride the same one-hot as extra LHS rows;
+    the return is then (nbins,) if pole_w is empty else (1+len, nbins)."""
     m = wflat.shape[0]
     mpad = -(-m // chunk) * chunk
     wflat = jnp.pad(wflat, (0, mpad - m))
     seg = jnp.pad(seg, (0, mpad - m), constant_values=nbins)
+    pole_w = tuple(jnp.pad(pw, (0, mpad - m)) for pw in pole_w)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, nbins), 1)
+    nrows = 1 + len(pole_w)
 
     def blk(acc, c):
         v = jax.lax.dynamic_slice(wflat, (c,), (chunk,))
         sg = jax.lax.dynamic_slice(seg, (c,), (chunk,))
         kz = jnp.mod(jnp.arange(chunk, dtype=jnp.int32) + c, kzlen)
-        vd = v * jnp.where(kz == 0, jnp.float32(1.0), jnp.float32(2.0))
+        rows = [v * jnp.where(kz == 0, jnp.float32(1.0), jnp.float32(2.0))]
+        for pw in pole_w:
+            rows.append(v * jax.lax.dynamic_slice(pw, (c,), (chunk,)))
+        vd = jnp.stack(rows)
         oh = (sg[:, None] == cols).astype(jnp.bfloat16)
         hi = vd.astype(jnp.bfloat16)
         lo = (vd - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         for part in (hi, lo):
             acc = acc + jax.lax.dot_general(
-                part[None, :], oh, (((1,), (0,)), ((), ())),
+                part, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )[0]
+            )
         return acc, None
 
-    acc = jnp.zeros(nbins, jnp.float32)
+    acc = jnp.zeros((nrows, nbins), jnp.float32)
     acc, _ = jax.lax.scan(
         blk, acc, jnp.arange(mpad // chunk, dtype=jnp.int32) * chunk
     )
-    return acc
+    return acc[0] if not pole_w else acc
 
 
 def _segsum_sorted(v_sorted, bounds):
@@ -368,10 +378,18 @@ def bin_kmu(
     plan = _get_mode_bin_plan(int(n1d), kedges2, muedges2, poles)
     kzlen = n1d // 2 + 1
     wflat = jnp.asarray(weights)[:, :, :kzlen].astype(jnp.float32).reshape(-1)
-    if not poles and Nk * Nmu <= 256:
-        # one-hot matmul beats the gather plan for small bin counts
-        wsum = _segsum_matmul(wflat, plan.seg, Nk * Nmu, kzlen)
-        psums = []
+    pole_nz = tuple(p for p in poles if p != 0)
+    if Nk * Nmu <= 256 and (not poles or Nmu == 1):
+        # one-hot matmul beats the gather plan for small bin counts; at
+        # Nmu == 1 the pole sums share the k-bin one-hot as extra LHS rows
+        out = _segsum_matmul(
+            wflat, plan.seg, Nk * Nmu, kzlen,
+            pole_w=tuple(plan.pole_w_flat[p] for p in pole_nz),
+        )
+        if pole_nz:
+            wsum, psums = out[0], list(out[1:])
+        else:
+            wsum, psums = out, []
     else:
         wsum, psums = _bin_kmu_planned(
             wflat, plan.perm, plan.bounds, plan.kbounds, plan.dup_sorted,

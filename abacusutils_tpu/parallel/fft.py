@@ -168,22 +168,24 @@ def calc_power_sharded_slab(
         for d in range(ndev)
     ]
     shard = NamedSharding(mesh, P(axis))
+    pole_nz = tuple(p for p in poles if p != 0)
+    nbins = nbins_k * nbins_mu
+    use_mm = nbins_mu == 1 and nbins_k <= 256
 
-    def stack(name):
-        return jax.device_put(
-            np.stack([np.asarray(getattr(p, name)) for p in plans]), shard
-        )
+    def stack(get):
+        return jax.device_put(np.stack([np.asarray(get(p)) for p in plans]), shard)
 
-    perm = stack('perm')
-    bounds = stack('bounds')
-    kbounds = stack('kbounds')
-    dup_sorted = stack('dup_sorted')
-    pole_w = {
-        p: jax.device_put(
-            np.stack([np.asarray(pl.pole_w[p]) for pl in plans]), shard
+    if use_mm:
+        binargs = (
+            stack(lambda p: p.seg),
+            tuple(stack(lambda p, q=q: p.pole_w_flat[q]) for q in pole_nz),
         )
-        for p in poles if p != 0
-    }
+    else:
+        binargs = (
+            stack(lambda p: p.perm), stack(lambda p: p.bounds),
+            stack(lambda p: p.kbounds), stack(lambda p: p.dup_sorted),
+            {q: stack(lambda p, q=q: p.pole_w[q]) for q in pole_nz},
+        )
 
     pos = np.asarray(pos, np.float32)
     n_part = len(pos)
@@ -195,11 +197,13 @@ def calc_power_sharded_slab(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=({k: P(axis) for k in arrs}, P(axis), P(axis), P(axis),
-                  P(axis), {p: P(axis) for p in pole_w}),
+        in_specs=({k: P(axis) for k in arrs},) + (P(axis),) * len(binargs),
         out_specs=(P(), P()),
+        check_vma=False,  # scan carry init in _segsum_matmul is unvarying
     )
-    def step(a, perm_l, bounds_l, kbounds_l, dup_l, pole_w_l):
+    def step(a, *bin_l):
+        from ..ops.power import _segsum_matmul
+
         core = paint_slab(
             a['x'], a['y'], a['z'], a['weights'], nmesh, lbox, axis, ndev
         )
@@ -208,16 +212,25 @@ def calc_power_sharded_slab(
         delta = core * (jnp.float32(nmesh) ** 3 / jnp.float32(n_part)) - 1.0
         delta_k = slab_rfftn(delta, axis) * jnp.float32(1.0 / float(nmesh) ** 3)
         p3d = jnp.abs(delta_k) ** 2
-        v = p3d.reshape(-1)[perm_l[0]] * dup_l[0]
-        wsum = _segsum_sorted(v, bounds_l[0])
-        vraw = p3d.reshape(-1)[perm_l[0]]
-        psums = jnp.stack(
-            [_segsum_sorted(vraw * pole_w_l[p][0], kbounds_l[0])
-             for p in pole_w_l]
-        ) if pole_w_l else jnp.zeros((0, nbins_k), jnp.float32)
+        if use_mm:
+            seg_l, pw_l = bin_l
+            out = _segsum_matmul(
+                p3d.reshape(-1), seg_l[0], nbins, nmesh // 2 + 1,
+                pole_w=tuple(pw[0] for pw in pw_l),
+            )
+            wsum = out[0] if pw_l else out
+            psums = out[1:] if pw_l else jnp.zeros((0, nbins_k), jnp.float32)
+        else:
+            perm_l, bounds_l, kbounds_l, dup_l, pole_w_l = bin_l
+            vp = p3d.reshape(-1)[perm_l[0]]
+            wsum = _segsum_sorted(vp * dup_l[0], bounds_l[0])
+            psums = jnp.stack(
+                [_segsum_sorted(vp * pole_w_l[p][0], kbounds_l[0])
+                 for p in pole_w_l]
+            ) if pole_w_l else jnp.zeros((0, nbins_k), jnp.float32)
         return jax.lax.psum(wsum, axis), jax.lax.psum(psums, axis)
 
-    wsum, psums = step(arrs, perm, bounds, kbounds, dup_sorted, pole_w)
+    wsum, psums = step(arrs, *binargs)
     counts = sum(np.asarray(p.counts, np.float64) for p in plans)
     ksum = sum(np.asarray(p.ksum, np.float64) for p in plans)
 

@@ -196,16 +196,30 @@ def calc_power_sharded(
         {'x': pos[:, 0], 'y': pos[:, 1], 'z': pos[:, 2], 'weights': w},
         axis=axis,
     )
-    pole_w = {p: plan.pole_w[p] for p in poles if p != 0}
+    pole_nz = tuple(p for p in poles if p != 0)
+    # one-hot matmul binning when it applies (also the more accurate path:
+    # the gather+cumsum reduction loses ~1e-7 relative of the PREFIX sum to
+    # f32 cancellation, which the DC mode makes visible in small bins)
+    use_mm = nbins_mu == 1 and nbins_k <= 256
+    if use_mm:
+        binargs = (plan.seg, tuple(plan.pole_w_flat[p] for p in pole_nz))
+    else:
+        binargs = (
+            plan.perm, plan.bounds, plan.kbounds, plan.dup_sorted,
+            {p: plan.pole_w[p] for p in pole_nz},
+        )
 
     @jax.jit
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=({k: P(axis) for k in arrs}, P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P()),
+        in_specs=({k: P(axis) for k in arrs},) + (P(),) * len(binargs),
+        out_specs=(P(), P()),
+        check_vma=False,  # scan carry init in _segsum_matmul is unvarying
     )
-    def step(a, perm, bounds, kbounds, dup_sorted, pole_w_l):
+    def step(a, *bin_l):
+        from ..ops.power import _segsum_matmul
+
         grid = jnp.zeros(nmesh * nmesh * nmesh, jnp.float32)
         grid = _paint_weighted(
             a['x'], a['y'], a['z'], a['weights'], nmesh, lbox, grid
@@ -216,18 +230,26 @@ def calc_power_sharded(
         delta = grid * (grid.size / jnp.float32(n_part)) - 1.0
         delta_k = jnp.fft.rfftn(delta) * jnp.float32(1.0 / grid.size)
         p3d = jnp.abs(delta_k) ** 2
-        v = p3d.reshape(-1)[perm] * dup_sorted
-        wsum = _segsum_sorted(v, bounds)
-        psums = jnp.stack(
-            [_segsum_sorted(v * pole_w_l[p], kbounds) for p in pole_w_l]
-        ) if pole_w_l else jnp.zeros((0, nbins_k), jnp.float32)
-        return wsum, psums, jnp.float32(n_part)
+        if use_mm:
+            seg, pw = bin_l
+            out = _segsum_matmul(
+                p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1, pole_w=pw
+            )
+            wsum = out[0] if pw else out
+            psums = out[1:] if pw else jnp.zeros((0, nbins_k), jnp.float32)
+        else:
+            perm, bounds, kbounds, dup_sorted, pole_w_l = bin_l
+            vp = p3d.reshape(-1)[perm]
+            wsum = _segsum_sorted(vp * dup_sorted, bounds)
+            # pole_w already carries the hermitian dup factor — raw weights
+            psums = jnp.stack(
+                [_segsum_sorted(vp * pole_w_l[p], kbounds) for p in pole_w_l]
+            ) if pole_w_l else jnp.zeros((0, nbins_k), jnp.float32)
+        return wsum, psums
 
     # padded rows carry weight 0 (shard_particles fill), so they are inert in
     # the deposit but wtot already counts only real weights
-    wsum, psums, _ = step(
-        arrs, plan.perm, plan.bounds, plan.kbounds, plan.dup_sorted, pole_w
-    )
+    wsum, psums = step(arrs, *binargs)
     return _assemble_power_output(
         np.asarray(wsum), np.asarray(psums), np.asarray(plan.counts),
         np.asarray(plan.ksum), kedges, poles, lbox, dk, nbins_k, nbins_mu,
