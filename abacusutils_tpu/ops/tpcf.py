@@ -427,8 +427,15 @@ def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
 
     sideA = _get_stage(pos1, lbox, nc)
     sideB = sideA if autocorr else _get_stage(pos2, lbox, nc)
-    ia, ib = _stage_items(sideA.tbl, sideB.tbl, nc)
-    sizes = _combo_sizes(sideA, sideB, nc)
+    # the sorted item list and combo sizes depend only on the two stages:
+    # memoize on them (cached stages make repeat calls skip this too)
+    items = getattr(sideA, '_items_cache', None)
+    if items is not None and items[0] is sideB:
+        _, ia, ib, sizes = items
+    else:
+        ia, ib = _stage_items(sideA.tbl, sideB.tbl, nc)
+        sizes = _combo_sizes(sideA, sideB, nc)
+        sideA._items_cache = (sideB, ia, ib, sizes)
 
     edges2_j = jnp.asarray(np.asarray(edges2, np.float64))
     acc = None  # accumulate on device; one host sync at the end
