@@ -29,8 +29,14 @@ def main(
     alt_simname=None,
     save_3D_power=False,
     only_requested_fields=False,
+    mesh=None,
 ):
-    """Advect the 5 fields to z_mock; save FFTs and the P_ij spectra."""
+    """Advect the 5 fields to z_mock; save FFTs and the P_ij spectra.
+
+    `mesh` (a multi-device jax Mesh) routes each paint+FFT through the
+    grid-sharded slab pipeline (parallel.fft.field_fft_slab) — at the
+    nmesh=1024+ meshes the zcv configs use, a replicated grid per chip
+    does not fit."""
     config = yaml.safe_load(open(path2config))
     zcv_dir = config['zcv_params']['zcv_dir']
     nmesh = config['zcv_params']['nmesh']
@@ -113,9 +119,19 @@ def main(
                     assert f['header']['nmesh'] == nmesh
                     assert np.isclose(f['header']['kcut'], kcut)
                     w = np.asarray(f['data'][kn]).flatten()
-            field_fft = np.asarray(
-                get_field_fft(disp_pos, Lbox, nmesh, paste, w, W, compensated, interlaced)
-            )
+            if mesh is not None and mesh.devices.size > 1:
+                from ...parallel.fft import field_fft_slab
+
+                field_fft = np.asarray(
+                    field_fft_slab(
+                        disp_pos, Lbox, nmesh, mesh, w=w, paste=paste,
+                        compensated=compensated, interlaced=interlaced,
+                    )
+                )
+            else:
+                field_fft = np.asarray(
+                    get_field_fft(disp_pos, Lbox, nmesh, paste, w, W, compensated, interlaced)
+                )
             table = {
                 f'{kn}_Re': np.array(field_fft.real, dtype=np.float32),
                 f'{kn}_Im': np.array(field_fft.imag, dtype=np.float32),

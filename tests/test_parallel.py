@@ -182,3 +182,64 @@ def test_zcv_fields_sharded_matches_single():
     via_kwarg = get_fields(dens, lbox, nmesh, mesh=make_mesh())
     for g, w in zip(via_kwarg, got):
         npt.assert_array_equal(g, np.asarray(w))
+
+
+def test_field_fft_slab_matches_single():
+    """field_fft_slab (incl. interlacing + compensation on the y-sharded
+    spectrum) matches get_field_fft; calc_pk_from_deltak_slab matches
+    calc_pk_from_deltak for auto and cross spectra."""
+    from abacusutils_tpu.ops.power import (
+        calc_pk_from_deltak,
+        get_field_fft,
+        get_k_mu_edges,
+        get_W_compensated,
+    )
+    from abacusutils_tpu.parallel.fft import (
+        calc_pk_from_deltak_slab,
+        field_fft_slab,
+    )
+
+    rng = np.random.default_rng(15)
+    n, nmesh, lbox = 60_000, 16, 250.0
+    pos = (rng.random((n, 3)) * lbox - lbox / 2).astype(np.float32)
+    w = rng.random(n).astype(np.float32)
+    mesh = make_mesh()
+
+    for compensated, interlaced in ((False, False), (True, True)):
+        W = get_W_compensated(lbox, nmesh, 'TSC', interlaced) if compensated else None
+        want = np.asarray(
+            get_field_fft(pos, lbox, nmesh, 'TSC', w, W, compensated, interlaced)
+        )
+        got = np.asarray(
+            field_fft_slab(
+                pos, lbox, nmesh, mesh, w=w, compensated=compensated,
+                interlaced=interlaced,
+            )
+        )
+        npt.assert_allclose(
+            got, want, rtol=2e-4, atol=2e-6 * np.abs(want).max(),
+            err_msg=f'comp={compensated} interlaced={interlaced}',
+        )
+
+    # cross spectrum of two fields, sharded vs single-device
+    pos2 = (rng.random((n, 3)) * lbox - lbox / 2).astype(np.float32)
+    f1 = field_fft_slab(pos, lbox, nmesh, mesh, w=w)
+    f2 = field_fft_slab(pos2, lbox, nmesh, mesh)
+    kedges, muedges = get_k_mu_edges(lbox, np.pi * nmesh / lbox, 8, 1, False)
+    got = calc_pk_from_deltak_slab(
+        f1, lbox, kedges, muedges, mesh, field2_fft=f2, poles=[0, 2]
+    )
+    want = calc_pk_from_deltak(
+        np.asarray(f1), lbox, kedges, muedges, field2_fft=np.asarray(f2),
+        poles=np.array([0, 2]),
+    )
+    npt.assert_allclose(
+        np.asarray(got['power']), np.asarray(want['power']), rtol=3e-4,
+        atol=1e-6 * np.abs(np.asarray(want['power'])).max(),
+    )
+    pw = np.asarray(want['binned_poles'])
+    npt.assert_allclose(
+        np.asarray(got['binned_poles']), pw, rtol=3e-4,
+        atol=1e-5 * np.abs(pw).max(),
+    )
+    npt.assert_array_equal(got['N_mode'], np.asarray(want['N_mode']))
