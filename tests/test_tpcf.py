@@ -146,3 +146,67 @@ def test_wrappers_consistent():
     assert np.abs(xi[-3:]).max() < 0.3
     ell = calc_multipole_fast(x, y, z, SBINS, LBOX, orders=(0, 2))
     assert np.isfinite(ell).all() and len(ell) == 2 * (len(SBINS) - 1)
+
+
+@pytest.mark.parametrize('seed', [10, 11])
+def test_grid_engine_fuzz_vs_brute(seed):
+    """Grid engine vs brute force across edge configurations the main tests
+    don't hit: rp/s bins starting at 0 (exercises the self-pair
+    subtraction), strongly unequal cross densities, and non-pow2 N."""
+    rng = np.random.default_rng(seed)
+    n1 = int(rng.integers(3000, 6000))
+    pos = _points(n1, rng)
+
+    rp0 = np.concatenate([[0.0], np.logspace(-1, np.log10(30), 6)[1:]])
+    got = pair_counts_rppi(pos, rp0, PIMAX, LBOX, method='cell')
+    want = _brute_rppi_bins(pos, None, rp0)
+    npt.assert_array_equal(got, want)
+
+    s0 = np.linspace(0.0, 25, 7)
+    got = pair_counts_smu(pos, s0, NMU, LBOX, method='cell')
+    want = _brute_smu_bins(pos, s0)
+    npt.assert_array_equal(got, want)
+
+    pos2 = _points(int(rng.integers(300, 800)), rng)  # sparse second tracer
+    got = pair_counts_rppi(pos, rp0, PIMAX, LBOX, pos2=pos2, method='cell')
+    want = _brute_rppi_bins(pos, pos2, rp0)
+    npt.assert_array_equal(got, want)
+
+
+def _brute_rppi_bins(pos, pos2, rpbins):
+    auto = pos2 is None
+    p1 = np.mod(pos, LBOX).astype(np.float32)
+    p2 = p1 if auto else np.mod(pos2, LBOX).astype(np.float32)
+    d = p1[:, None, :] - p2[None, :, :]
+    d = (d - np.float32(LBOX) * np.round(d / np.float32(LBOX))).astype(np.float32)
+    rp2 = d[..., 0] ** 2 + d[..., 1] ** 2
+    adz = np.abs(d[..., 2])
+    brp = np.searchsorted(np.asarray(rpbins, np.float32) ** 2, rp2.ravel(), side='right') - 1
+    bpi = np.floor(adz).astype(int).ravel()
+    ok = (brp >= 0) & (brp < len(rpbins) - 1) & (adz.ravel() < PIMAX)
+    if auto:
+        n = len(p1)
+        ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing='ij')
+        ok &= (ii != jj).ravel()
+    return np.bincount(
+        (brp * PIMAX + bpi)[ok], minlength=(len(rpbins) - 1) * PIMAX
+    ).reshape(len(rpbins) - 1, PIMAX)
+
+
+def _brute_smu_bins(pos, sbins):
+    p1 = np.mod(pos, LBOX).astype(np.float32)
+    d = p1[:, None, :] - p1[None, :, :]
+    d = (d - np.float32(LBOX) * np.round(d / np.float32(LBOX))).astype(np.float32)
+    s2 = (d**2).sum(-1)
+    s = np.sqrt(s2)
+    adz = np.abs(d[..., 2])
+    mu = np.divide(adz, s, out=np.zeros_like(s), where=s > 0)
+    bs = np.searchsorted(np.asarray(sbins, np.float32) ** 2, s2.ravel(), side='right') - 1
+    bmu = np.minimum((mu.ravel() * np.float32(NMU)).astype(int), NMU - 1)
+    ok = (bs >= 0) & (bs < len(sbins) - 1)
+    n = len(p1)
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing='ij')
+    ok &= (ii != jj).ravel()
+    return np.bincount(
+        (bs * NMU + bmu)[ok], minlength=(len(sbins) - 1) * NMU
+    ).reshape(len(sbins) - 1, NMU)
