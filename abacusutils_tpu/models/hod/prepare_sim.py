@@ -901,3 +901,36 @@ def main(
         print('prepare_sim: process pool unavailable, running slabs serially')
         for i in range(numslabs):
             prepare_slab(i, **kwargs)
+
+
+if __name__ == '__main__':
+    import argparse
+
+    from .utils import ArgParseFormatter
+
+    parser = argparse.ArgumentParser(
+        description=__doc__, formatter_class=ArgParseFormatter
+    )
+    parser.add_argument(
+        '--path2config', help='Path to the config file',
+        default='config/abacus_hod.yaml',
+    )
+    parser.add_argument(
+        '--alt_simname', help='alternative simname to process'
+    )
+    parser.add_argument(
+        '--alt_z', help='alternative z to process, like "0.8"', type=float
+    )
+    parser.add_argument(
+        '--newseed', help='alternative random number seed, positive integer',
+        default=600, type=int,
+    )
+    parser.add_argument(
+        '--overwrite', help='overwrite existing subsamples', default=1, type=int
+    )
+    parser.add_argument(
+        '--halo_lc', help='process the light cone halo catalogs',
+        default=False, action='store_true',
+    )
+    main(**vars(parser.parse_args()))
+    print('done')
