@@ -16,7 +16,6 @@ import numpy as np
 
 from ...io.asdf_file import open_asdf
 from ...io.table import Table
-from ...ops.power import calc_power
 from ...ops.tpcf import calc_multipole_fast, calc_wp_fast, calc_xirppi_fast
 from . import shapes_np
 from .population import gen_gals
@@ -618,28 +617,58 @@ class AbacusHOD:
         interlaced=False,
     ):
         """P(k,mu) (+multipoles) per tracer pair (reference compute_power
-        :1338-1472 contract)."""
+        :1338-1472 contract).
+
+        Each tracer's Fourier field is painted ONCE and every pair is binned
+        from the cached FFTs — the reference (and a per-pair calc_power
+        loop) repaints both fields for every pair, ~T^2 paints for T
+        tracers instead of T. Results are identical: this is calc_power's
+        own internals with the field cache hoisted out of the pair loop."""
+        from ...ops.power import (
+            _spectrum_table,
+            get_field_fft,
+            get_W_compensated,
+        )
+
         Lbox = self.lbox
         clustering = {}
         power = None
         keys = list(mock_dict.keys())
+        W = (
+            get_W_compensated(Lbox, num_cells, paste, interlaced)
+            if compensated else None
+        )
+        ffts = {}
+        n_tr = {}
+        for tr in keys:
+            d = mock_dict[tr]
+            pos = np.stack((d['x'], d['y'], d['z']), axis=1)
+            ffts[tr] = get_field_fft(
+                pos, Lbox, num_cells, paste, d.get('w', None), W,
+                compensated, interlaced,
+            )
+            n_tr[tr] = len(pos)
         for i1, tr1 in enumerate(keys):
             d1 = mock_dict[tr1]
-            pos1 = np.stack((d1['x'], d1['y'], d1['z']), axis=1)
-            w1 = d1.get('w', None)
             for i2, tr2 in enumerate(keys):
                 if i1 > i2:
                     continue
-                kw = {}
+                meta = dict(
+                    Lbox=Lbox, logk=logk, paste=paste, nmesh=num_cells,
+                    compensated=compensated, interlaced=interlaced,
+                    poles=list(poles), N_pos=n_tr[tr1],
+                    is_weighted=d1.get('w', None) is not None,
+                    squeeze_mu_axis=True,
+                )
                 if i1 != i2:
-                    d2 = mock_dict[tr2]
-                    kw = dict(
-                        pos2=np.stack((d2['x'], d2['y'], d2['z']), axis=1),
-                        w2=d2.get('w', None),
+                    meta['N_pos2'] = n_tr[tr2]
+                    meta['is_weighted2'] = (
+                        mock_dict[tr2].get('w', None) is not None
                     )
-                power = calc_power(
-                    pos1, Lbox, nbins_k, nbins_mu, k_hMpc_max, logk, paste,
-                    num_cells, compensated, interlaced, w=w1, poles=list(poles), **kw
+                power = _spectrum_table(
+                    ffts[tr1], ffts[tr2] if i1 != i2 else None, Lbox,
+                    nbins_k, nbins_mu, k_hMpc_max, logk, list(poles),
+                    True, True, meta,
                 )
                 stem = tr1 + '_' + tr2
                 clustering[stem] = np.asarray(power['power'])

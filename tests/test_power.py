@@ -202,3 +202,40 @@ def test_staged_power_matches_calc_power():
         npt.assert_allclose(
             np.asarray(got2['power']), np.asarray(want2['power']), rtol=2e-4
         )
+
+
+def test_hod_compute_power_matches_calc_power():
+    """compute_power's hoisted field-FFT cache returns exactly what a
+    per-pair calc_power loop would (auto + cross, poles)."""
+    import numpy.testing as npt
+    from types import SimpleNamespace
+
+    from abacusutils_tpu.models.hod.abacus_hod import AbacusHOD
+
+    rng = np.random.default_rng(31)
+    lbox = 250.0
+    mock = {}
+    for tr, n in (('LRG', 20_000), ('ELG', 12_000)):
+        pos = (rng.random((n, 3)) * lbox).astype(np.float32)
+        mock[tr] = {'x': pos[:, 0], 'y': pos[:, 1], 'z': pos[:, 2]}
+
+    nbins_k, nbins_mu, kmax, nmesh = 10, 2, np.pi * 32 / lbox, 32
+    got = AbacusHOD.compute_power(
+        SimpleNamespace(lbox=lbox), mock, nbins_k, nbins_mu, kmax,
+        False, poles=(0, 2), num_cells=nmesh, compensated=True,
+        interlaced=True,
+    )
+    for tr1, tr2 in (('LRG', 'LRG'), ('LRG', 'ELG')):
+        d1, d2 = mock[tr1], mock[tr2]
+        kw = {}
+        if tr1 != tr2:
+            kw = dict(pos2=np.stack((d2['x'], d2['y'], d2['z']), axis=1))
+        want = calc_power(
+            np.stack((d1['x'], d1['y'], d1['z']), axis=1), lbox, nbins_k,
+            nbins_mu, kmax, False, 'TSC', nmesh, True, True,
+            poles=[0, 2], **kw,
+        )
+        stem = tr1 + '_' + tr2
+        npt.assert_array_equal(got[stem], np.asarray(want['power']))
+        npt.assert_array_equal(got[stem + '_ell'], np.asarray(want['poles']))
+        npt.assert_array_equal(got[stem + '_modes'], np.asarray(want['N_mode']))
