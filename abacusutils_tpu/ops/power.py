@@ -430,6 +430,9 @@ def bin_kmu(
 
 @partial(jax.jit, static_argnames=('n1d', 'Nk', 'Npi'))
 def _bin_kppi_sums(weights, kedges2, piedges2, n1d, Nk, Npi):
+    """(k_perp, pi) bins are SEPARABLE (k_perp from the xy plane, pi from
+    kz), so the whole 2D histogram is two small one-hot matmuls — no
+    scatter (XLA segment_sum executes serially on TPU)."""
     kzlen = n1d // 2 + 1
     i = jnp.arange(n1d)
     i2 = jnp.where(i < n1d // 2, i, i - n1d).astype(jnp.int32) ** 2
@@ -444,18 +447,25 @@ def _bin_kppi_sums(weights, kedges2, piedges2, n1d, Nk, Npi):
     )
     dup = jnp.where(jnp.arange(kzlen) == 0, 1.0, 2.0)
 
-    valid = validk.reshape(-1)[:, None] & validz[None, :]
-    seg = jnp.where(valid, bk[:, None] * Npi + bpi[None, :], Nk * Npi)
-    w = weights[:, :, :kzlen].astype(jnp.float32).reshape(-1, kzlen) * dup[None, :]
-    cnt = jnp.broadcast_to(dup[None, :], w.shape)
-    nseg = Nk * Npi + 1
-    counts = jax.ops.segment_sum(
-        jnp.where(valid, cnt, 0.0).reshape(-1), seg.reshape(-1), num_segments=nseg
-    )[:-1]
-    wsum = jax.ops.segment_sum(
-        jnp.where(valid, w, 0.0).reshape(-1), seg.reshape(-1), num_segments=nseg
-    )[:-1]
-    return counts, wsum
+    ohk = (
+        (bk[:, None] == jnp.arange(Nk)[None, :]) & validk.reshape(-1)[:, None]
+    ).astype(jnp.float32)  # (n1d^2, Nk)
+    ohpi = (
+        (bpi[:, None] == jnp.arange(Npi)[None, :]) & validz[:, None]
+    ).astype(jnp.float32) * dup[:, None]  # (kzlen, Npi)
+
+    w = weights[:, :, :kzlen].astype(jnp.float32).reshape(-1, kzlen)
+    hp = jax.lax.Precision.HIGHEST
+    tmp = jax.lax.dot_general(
+        w, ohpi, (((1,), (0,)), ((), ())), precision=hp,
+        preferred_element_type=jnp.float32,
+    )  # (n1d^2, Npi)
+    wsum = jax.lax.dot_general(
+        ohk, tmp, (((0,), (0,)), ((), ())), precision=hp,
+        preferred_element_type=jnp.float32,
+    )  # (Nk, Npi)
+    counts = ohk.sum(0)[:, None] * ohpi.sum(0)[None, :]
+    return counts.reshape(-1), wsum.reshape(-1)
 
 
 def bin_kppi(n1d, L, kedges, pimax, Npi, weights, dtype=np.float32, fourier=True, nthread=None):

@@ -9,6 +9,7 @@ consistency assertion (monopole == mode-weighted bandpower mean), and
 """
 
 import numpy as np
+import numpy.testing as npt
 import pytest
 
 from abacusutils_tpu.ops.power import (
@@ -239,3 +240,42 @@ def test_hod_compute_power_matches_calc_power():
         npt.assert_array_equal(got[stem], np.asarray(want['power']))
         npt.assert_array_equal(got[stem + '_ell'], np.asarray(want['poles']))
         npt.assert_array_equal(got[stem + '_modes'], np.asarray(want['N_mode']))
+
+
+def test_bin_kppi_vs_brute():
+    """bin_kppi (separable two-matmul histogram) vs a direct numpy mode sum."""
+    from abacusutils_tpu.ops.power import bin_kppi
+
+    rng = np.random.default_rng(33)
+    n1d, L = 16, 100.0
+    kzlen = n1d // 2 + 1
+    w = rng.random((n1d, n1d, kzlen)).astype(np.float32)
+    kedges = np.linspace(0, np.pi * n1d / L, 6)
+    pimax, Npi = np.pi * n1d / L, 4
+
+    got_mean, got_counts = bin_kppi(n1d, L, kedges, pimax, Npi, w)
+
+    dk = 2 * np.pi / L
+    i = np.arange(n1d)
+    i2 = np.where(i < n1d // 2, i, i - n1d).astype(np.int64) ** 2
+    kp2 = (i2[:, None] + i2[None, :]).astype(np.float32)
+    kz2 = (np.arange(kzlen) ** 2).astype(np.float32)
+    kedges2 = ((kedges / dk) ** 2).astype(np.float32)
+    piedges2 = ((np.linspace(0, pimax, Npi + 1) / dk) ** 2).astype(np.float32)
+    wsum = np.zeros((5, Npi))
+    counts = np.zeros((5, Npi))
+    for xy in range(n1d * n1d):
+        if not (kedges2[0] <= kp2.reshape(-1)[xy] < kedges2[-1]):
+            continue
+        bk = np.searchsorted(kedges2, kp2.reshape(-1)[xy], side='left') - 1
+        bk = np.clip(bk, 0, 4)
+        for z in range(kzlen):
+            if kz2[z] >= piedges2[-1]:
+                continue
+            bp = np.clip(np.searchsorted(piedges2, kz2[z], side='left') - 1, 0, Npi - 1)
+            dup = 1.0 if z == 0 else 2.0
+            wsum[bk, bp] += dup * w.reshape(-1, kzlen)[xy, z]
+            counts[bk, bp] += dup
+    want = np.where(counts != 0, wsum / counts, 0.0)
+    npt.assert_array_equal(got_counts, counts.astype(np.int64))
+    npt.assert_allclose(got_mean, want, rtol=2e-6, atol=1e-7)
