@@ -17,7 +17,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.pipeline import _paint_weighted, populate_weights
-from ..ops.power import _bin_kmu_sums
 
 __all__ = [
     'make_mesh',
@@ -62,11 +61,14 @@ def sharded_hod_pk(
     mass tiny) so they populate nothing. Returns (power_sum, counts, n_gal)
     replicated on every device.
     """
+    from ..ops.power import _get_mode_bin_plan, _segsum_matmul
 
-    @partial(
-        jax.jit,
-        static_argnames=(),
+    plan = _get_mode_bin_plan(
+        int(nmesh), np.asarray(kedges2, np.float32),
+        np.asarray(muedges2, np.float32), (),
     )
+
+    @jax.jit
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -74,11 +76,12 @@ def sharded_hod_pk(
             {k: P(axis) for k in halo},
             {k: P(axis) for k in part},
             {k: P() for k in params},
-            P(), P(),
+            P(),
         ),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # scan carry init in _segsum_matmul is unvarying
     )
-    def step(halo_l, part_l, params_l, kedges2_l, muedges2_l):
+    def step(halo_l, part_l, params_l, seg):
         inv_velz2kms = 1.0 / velz2kms
         z_c, keep_c, z_s, keep_s = populate_weights(
             halo_l, part_l, params_l, rsd, inv_velz2kms
@@ -95,12 +98,13 @@ def sharded_hod_pk(
         delta_k = jnp.fft.rfftn(delta) * jnp.float32(1.0 / grid.size)
         p3d = jnp.abs(delta_k) ** 2
 
-        counts, wsum, _, _ = _bin_kmu_sums(
-            p3d, kedges2_l, muedges2_l, nmesh, nbins_k, 1, ()
+        wsum = _segsum_matmul(
+            p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1
         )
-        return wsum, counts, n_gal
+        return wsum, n_gal
 
-    return step(halo, part, params, jnp.asarray(kedges2), jnp.asarray(muedges2))
+    wsum, n_gal = step(halo, part, params, plan.seg)
+    return wsum, jnp.asarray(np.asarray(plan.counts).reshape(-1)), n_gal
 
 
 def _assemble_power_output(
