@@ -18,11 +18,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.power import _bin_kmu_sums, _get_mode_bin_plan, _segsum_matmul
+from ..ops.power import _get_mode_bin_plan, _segsum_matmul
 from .hod import shapes
 
 __all__ = [
-    'hod_pk_fused',
     'hod_pk_fused_planned',
     'hod_pk_fused_yb',
     'hod_pk_fused_pallas',
@@ -110,37 +109,6 @@ def _paint_weighted(px, py, pz, w, nmesh, lbox, grid):
                 grid = grid.at[fab + fz[c]].add(wab * wz[c])
     return grid
 
-
-@partial(jax.jit, static_argnames=('nmesh', 'nbins_k', 'rsd'))
-def hod_pk_fused(
-    halo, part, params, kedges2, muedges2, Wcomp, lbox, velz2kms,
-    nmesh, nbins_k, rsd=True,
-):
-    """Populate (LRG), paint galaxies, FFT, bin P(k) — one device program.
-
-    Returns (power_sum, mode_counts, n_gal); host divides and normalizes.
-    """
-    inv_velz2kms = 1.0 / velz2kms
-    z_c, keep_c, z_s, keep_s = populate_weights(halo, part, params, rsd, inv_velz2kms)
-    n_gal = keep_c.sum() + keep_s.sum()
-
-    grid = jnp.zeros(nmesh * nmesh * nmesh, jnp.float32)
-    grid = _paint_weighted(halo['x'], halo['y'], z_c, keep_c, nmesh, lbox, grid)
-    grid = _paint_weighted(part['x'], part['y'], z_s, keep_s, nmesh, lbox, grid)
-    grid = grid.reshape(nmesh, nmesh, nmesh)
-
-    delta = grid * (grid.size / n_gal) - 1.0
-    delta_k = jnp.fft.rfftn(delta) * jnp.float32(1.0 / grid.size)
-    if Wcomp is not None:
-        delta_k = delta_k / (
-            Wcomp[:, None, None] * Wcomp[None, :, None] * Wcomp[None, None, : nmesh // 2 + 1]
-        )
-    p3d = jnp.abs(delta_k) ** 2
-
-    counts, wsum, ksum, _ = _bin_kmu_sums(
-        p3d, kedges2, muedges2, nmesh, nbins_k, 1, ()
-    )
-    return wsum, counts, n_gal
 
 
 def group_inputs(cat, nmesh, lbox, chunk=2048):

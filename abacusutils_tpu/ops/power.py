@@ -4,10 +4,11 @@ TPU-native rebuild of the reference power-spectrum engine
 (/root/reference/abacusnbody/analysis/power_spectrum.py): painting runs as a
 device scatter (ops.grid), FFTs are XLA batched transforms, and the
 mode-binning "hot loop" (reference bin_kmu:150-300, a Numba thread-parallel
-triple loop) becomes a one-shot jitted program: mode k^2/mu^2 are built from
-integer grid coordinates on the fly, bins are found with searchsorted, and
-the (k,mu)/pole histograms accumulate via segment-sums (deterministic,
-collective-friendly). Conventions (k=0 plane counted once, kz>0 doubled,
+triple loop) becomes a one-shot jitted program: each mode's (k,mu) bin is
+precomputed once per geometry (_ModeBinPlan) and the histograms accumulate
+as one-hot contractions on the MXU (_segsum_matmul; TPU scatters are
+serial, TPU element gathers slow) with a sort+cumsum fallback for large
+bin counts. Conventions (k=0 plane counted once, kz>0 doubled,
 right-closed bin edges, Nyquist exclusion at the top edge) match the
 reference/nbodykit to test tolerance.
 """
@@ -142,56 +143,6 @@ def _mode_geometry(n1d):
     dup = jnp.where(kz == 0, 1, 2)[None, None, :].astype(jnp.float32)
     return kmag2, mu2, dup
 
-
-@partial(jax.jit, static_argnames=('n1d', 'Nk', 'Nmu', 'poles'))
-def _bin_kmu_sums(weights, kedges2, muedges2, n1d, Nk, Nmu, poles):
-    """Segment-sum accumulation of (k,mu) wedge and pole histograms.
-
-    Returns dict of flat sums; division by counts happens on the host.
-    """
-    kzlen = n1d // 2 + 1
-    kmag2, mu2, dup = _mode_geometry(n1d)
-    w = weights[:, :, :kzlen].astype(jnp.float32)
-
-    kflat = kmag2.reshape(-1)
-    muflat = mu2.reshape(-1)
-    dupflat = jnp.broadcast_to(dup, kmag2.shape).reshape(-1)
-    wflat = w.reshape(-1) * dupflat
-
-    valid = (kflat >= kedges2[0]) & (kflat < kedges2[-1])
-    bk = jnp.clip(jnp.searchsorted(kedges2, kflat, side='left') - 1, 0, Nk - 1)
-    bmu = jnp.clip(jnp.searchsorted(muedges2, muflat, side='left') - 1, 0, Nmu - 1)
-
-    seg = jnp.where(valid, bk * Nmu + bmu, Nk * Nmu)
-    nseg = Nk * Nmu + 1
-
-    counts = jax.ops.segment_sum(
-        jnp.where(valid, dupflat, 0.0), seg, num_segments=nseg
-    )[:-1]
-    wsum = jax.ops.segment_sum(jnp.where(valid, wflat, 0.0), seg, num_segments=nseg)[
-        :-1
-    ]
-    ksum = jax.ops.segment_sum(
-        jnp.where(valid, jnp.sqrt(kflat) * dupflat, 0.0), seg, num_segments=nseg
-    )[:-1]
-
-    pole_sums = []
-    for pole in poles:
-        if pole == 0:
-            pole_sums.append(jnp.zeros(Nk, jnp.float32))  # filled on host
-            continue
-        pw = jnp.float32(2 * pole + 1) * _P_n(muflat, pole)
-        segk = jnp.where(valid, bk, Nk)
-        pole_sums.append(
-            jax.ops.segment_sum(
-                jnp.where(valid, wflat * pw, 0.0), segk, num_segments=Nk + 1
-            )[:-1]
-        )
-    pole_sums = (
-        jnp.stack(pole_sums) if poles else jnp.zeros((0, Nk), jnp.float32)
-    )
-
-    return counts, wsum, ksum, pole_sums
 
 
 # ---------------------------------------------------------------------------
