@@ -912,10 +912,15 @@ class StagedPower:
         return fft
 
     def power(self, kbins=None, mubins=None, k_max=None, logk=False,
-              compensated=True, poles=None, squeeze_mu_axis=True, pz=None):
+              compensated=True, poles=None, squeeze_mu_axis=True, pz=None,
+              cross=None, pz2=None):
         """One staged P(k,mu)/P_ell measurement; same output Table as
-        calc_power(..., interlaced=False)."""
+        calc_power(..., interlaced=False). `cross` (another StagedPower on
+        the same box/mesh) measures the cross spectrum; pz/pz2 override the
+        z columns of either side per call."""
         nmesh, lbox = self.nmesh, self.lbox
+        if cross is not None and (cross.nmesh != nmesh or cross.lbox != lbox):
+            raise ValueError('cross-stage must share (lbox, nmesh)')
         if kbins is None:
             kbins = nmesh
         if k_max is None:
@@ -930,7 +935,12 @@ class StagedPower:
             squeeze_mu_axis=squeeze_mu_axis,
         )
         fft = self.field_fft(compensated=compensated, pz=pz)
+        fft2 = None
+        if cross is not None:
+            meta['N_pos2'] = cross.n_part
+            meta['is_weighted2'] = cross._is_weighted
+            fft2 = cross.field_fft(compensated=compensated, pz=pz2)
         return _spectrum_table(
-            fft, None, lbox, kbins, mubins, k_max, logk, poles,
+            fft, fft2, lbox, kbins, mubins, k_max, logk, poles,
             squeeze_mu_axis, return_mubins, meta,
         )

@@ -279,3 +279,29 @@ def test_bin_kppi_vs_brute():
     want = np.where(counts != 0, wsum / counts, 0.0)
     npt.assert_array_equal(got_counts, counts.astype(np.int64))
     npt.assert_allclose(got_mean, want, rtol=2e-6, atol=1e-7)
+
+
+def test_staged_power_cross():
+    """StagedPower cross spectra between two staged catalogs match
+    calc_power(pos, pos2)."""
+    import numpy.testing as npt
+
+    from abacusutils_tpu.ops.power import StagedPower
+
+    rng = np.random.default_rng(41)
+    n, nmesh, Lbox = 80_000, 32, 500.0
+    pos = (rng.random((n, 3)) * Lbox).astype(np.float32)
+    pos2 = (rng.random((n // 2, 3)) * Lbox).astype(np.float32)
+    s1 = StagedPower(pos, Lbox, nmesh=nmesh)
+    s2 = StagedPower(pos2, Lbox, nmesh=nmesh)
+    got = s1.power(kbins=16, poles=[0, 2], cross=s2)
+    want = calc_power(
+        pos, Lbox, kbins=16, k_max=np.pi * nmesh / Lbox, nmesh=nmesh,
+        paste='TSC', compensated=True, interlaced=False, pos2=pos2,
+        poles=[0, 2],
+    )
+    npt.assert_allclose(
+        np.asarray(got['power']), np.asarray(want['power']), rtol=2e-4,
+        atol=1e-6 * np.abs(np.asarray(want['power'])).max(),
+    )
+    npt.assert_array_equal(np.asarray(got['N_mode']), np.asarray(want['N_mode']))
