@@ -229,6 +229,11 @@ def calc_power_sharded_slab(
     from ..ops.power import get_k_mu_edges
 
     ndev = mesh.shape[axis]
+    if nmesh < 2 * ndev:
+        raise ValueError(
+            f'x-slabs need >= 2 planes per device (nmesh={nmesh}, '
+            f'n_devices={ndev}) for the TSC halo exchange'
+        )
     if k_max is None:
         k_max = np.pi * nmesh / lbox
     nbins_k = nmesh // 2 if kbins is None else int(kbins)
@@ -293,6 +298,11 @@ def field_fft_slab(
     ndev = mesh.shape[axis]
     if nmesh % ndev:
         raise ValueError(f'nmesh={nmesh} must divide by n_devices={ndev}')
+    if nmesh < 2 * ndev:
+        raise ValueError(
+            f'x-slabs need >= 2 planes per device (nmesh={nmesh}, '
+            f'n_devices={ndev}) for the TSC halo exchange'
+        )
     yl = nmesh // ndev
     pos = np.asarray(pos, np.float32)
     n_part = len(pos)
