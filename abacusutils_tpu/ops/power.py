@@ -140,7 +140,10 @@ def _mode_geometry(n1d):
     kmag2 = kmag2_int.astype(jnp.float32)
     kz2 = (kz**2).astype(jnp.float32)
     mu2 = jnp.where(kmag2_int > 0, kz2[None, None, :] / kmag2, 0.0)
-    dup = jnp.where(kz == 0, 1, 2)[None, None, :].astype(jnp.float32)
+    # hermitian duplicate factor: kz=0 and (even n1d) the self-conjugate
+    # kz=n1d/2 Nyquist plane appear once in the full cube
+    nyq = n1d // 2 if n1d % 2 == 0 else -1
+    dup = jnp.where((kz == 0) | (kz == nyq), 1, 2)[None, None, :].astype(jnp.float32)
     return kmag2, mu2, dup
 
 
@@ -180,6 +183,12 @@ class _ModeBinPlan:
         muflat = mu2.reshape(-1)
         dup = np.ones(kmag2.shape, np.float32)
         dup[:, :, 1:] = 2.0
+        if n1d % 2 == 0:
+            # the kz = n1d/2 Nyquist plane is self-conjugate: one mode, not
+            # two (the reference's numba loop double-counts it — its own
+            # bundled power_ij fixtures use the single-count convention;
+            # sub-Nyquist binning never sees the difference)
+            dup[:, :, -1] = 1.0
         dupflat = dup.reshape(-1)
 
         valid = (kflat >= kedges2[0]) & (kflat < kedges2[-1])
@@ -237,8 +246,9 @@ def _get_mode_bin_plan(n1d, kedges2, muedges2, poles, yslab=None):
     return plan
 
 
-@partial(jax.jit, static_argnames=('nbins', 'kzlen', 'chunk'))
-def _segsum_matmul(wflat, seg, nbins, kzlen, chunk=1 << 20, pole_w=()):
+@partial(jax.jit, static_argnames=('nbins', 'kzlen', 'chunk', 'even'))
+def _segsum_matmul(wflat, seg, nbins, kzlen, chunk=1 << 20, pole_w=(),
+                   even=True):
     """Weighted bin sums as a chunked one-hot contraction on the MXU.
 
     TPU element gathers run at ~0.1 G/s, so the sort-plan path (gather by
@@ -264,7 +274,8 @@ def _segsum_matmul(wflat, seg, nbins, kzlen, chunk=1 << 20, pole_w=()):
         v = jax.lax.dynamic_slice(wflat, (c,), (chunk,))
         sg = jax.lax.dynamic_slice(seg, (c,), (chunk,))
         kz = jnp.mod(jnp.arange(chunk, dtype=jnp.int32) + c, kzlen)
-        rows = [v * jnp.where(kz == 0, jnp.float32(1.0), jnp.float32(2.0))]
+        single = (kz == 0) | ((kz == kzlen - 1) if even else False)
+        rows = [v * jnp.where(single, jnp.float32(1.0), jnp.float32(2.0))]
         for pw in pole_w:
             rows.append(v * jax.lax.dynamic_slice(pw, (c,), (chunk,)))
         vd = jnp.stack(rows)
@@ -334,7 +345,7 @@ def bin_kmu(
         # one-hot matmul beats the gather plan for small bin counts; at
         # Nmu == 1 the pole sums share the k-bin one-hot as extra LHS rows
         out = _segsum_matmul(
-            wflat, plan.seg, Nk * Nmu, kzlen,
+            wflat, plan.seg, Nk * Nmu, kzlen, even=(n1d % 2 == 0),
             pole_w=tuple(plan.pole_w_flat[p] for p in pole_nz),
         )
         if pole_nz:
@@ -396,7 +407,9 @@ def _bin_kppi_sums(weights, kedges2, piedges2, n1d, Nk, Npi):
     bpi = jnp.clip(
         jnp.searchsorted(piedges2, kz2, side='left') - 1, 0, Npi - 1
     )
-    dup = jnp.where(jnp.arange(kzlen) == 0, 1.0, 2.0)
+    nyq = kzlen - 1 if n1d % 2 == 0 else -1
+    kzi = jnp.arange(kzlen)
+    dup = jnp.where((kzi == 0) | (kzi == nyq), 1.0, 2.0)
 
     ohk = (
         (bk[:, None] == jnp.arange(Nk)[None, :]) & validk.reshape(-1)[:, None]

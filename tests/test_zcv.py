@@ -165,3 +165,40 @@ def test_lcv_end_to_end(tmp_path, rec_algo):
     assert np.isfinite(lcv_dict['bias'])
     assert np.isfinite(np.asarray(lcv_dict['Pk_tr_tr_ell_lcv'])).all()
     assert 'rho_tr_lf' in lcv_dict
+
+
+def test_mode_count_conventions():
+    """Mode-count conventions pinned against the reference's own bundled
+    power_ij fixture: binning the FULL rfft cube (edges beyond Nyquist)
+    must count exactly n1d^3 modes — i.e. the self-conjugate kz = n1d/2
+    Nyquist plane counts ONCE (the fixture's N_kmu tables record 512 for
+    an 8^3 mesh; double-counting it would give 576). Sub-Nyquist binning
+    (every other golden test) never reaches that plane.
+
+    The fixture's P values themselves are NOT comparable — its advected
+    FFT files were generated at a different kcut than its power tables
+    (see module docstring) — but the mode counts are field-independent.
+    """
+    import os
+
+    import numpy.testing as npt
+
+    from abacusutils_tpu.ops.power import bin_kmu
+
+    n1d = 8
+    w = np.ones((n1d, n1d, n1d // 2 + 1), np.float32)
+    kedges = np.linspace(0, n1d, 5)  # far beyond Nyquist, in dk units * L
+    _, counts, _, counts_poles, _ = bin_kmu(
+        n1d, 2 * np.pi, kedges, np.array([0.0, 1.0]), w,
+        poles=np.array([0, 2]),
+    )
+    assert counts.sum() == n1d**3
+    assert counts_poles.sum() == n1d**3
+
+    base = '/root/reference/tests/data_zcv/AbacusSummit_base_c000_ph006/z0.800/'
+    if os.path.isdir(base):
+        from abacusutils_tpu.io.asdf_file import open_asdf
+
+        with open_asdf(base + 'power_ij_nmesh8.asdf') as f:
+            gold_n = np.asarray(f['data']['N_kmu_1cb_1cb']).ravel()
+        assert gold_n.sum() == n1d**3  # the reference fixture agrees
