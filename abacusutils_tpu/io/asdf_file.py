@@ -65,12 +65,12 @@ _DTYPE_NAMES = {np.dtype(v): k for k, v in _DTYPES.items()}
 _NTHREADS = 4
 
 
-def set_nthreads(n):
+def set_nthreads(nthreads):
     """Number of threads used for block decompression (blosc chunks decode in
     parallel; zstd releases the GIL). Mirrors the reference's
     `abacusnbody.data.asdf.set_nthreads`."""
     global _NTHREADS
-    _NTHREADS = max(1, int(n))
+    _NTHREADS = max(1, int(nthreads))
 
 
 class _Tagged:

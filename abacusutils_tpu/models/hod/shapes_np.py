@@ -29,7 +29,7 @@ def N_sat_generic(M_h, M_cut, kappa, M_1, alpha, A_s=1.0):
     return np.where(x < 0, 0.0, val)
 
 
-def N_sat_elg(M_h, M_cut, kappa, M_1, alpha, A_s=1.0):
+def N_sat_elg(M_h, M_cut, kappa, M_1, alpha, A_s=1.0, alpha1=0.0, beta=0.0):
     return N_sat_generic(M_h, M_cut, kappa, M_1, alpha, A_s)
 
 

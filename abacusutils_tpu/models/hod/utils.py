@@ -26,7 +26,8 @@ class ElapsedTimeFormatter(logging.Formatter):
 _handler = None
 
 
-def setup_logging(level=logging.INFO, stream=sys.stdout, filename=None):
+def setup_logging(level=logging.INFO, stream=sys.stdout, filename=None,
+                  filemode='w', **kwargs):
     """Turn on logging with elapsed-time stamps; safe to call repeatedly."""
     global _handler
     if isinstance(level, str):

@@ -38,9 +38,10 @@ def Wth(ksq, r):
     return 3 * (np.sin(kr) - kr * np.cos(kr)) / kr**3
 
 
-def Wg(k2, r):
-    """Gaussian window exp(-k^2 r^2 / 2) for squared k (reference shear.py:34-36)."""
-    return np.exp(-k2 * r * r / 2.0)
+def Wg(k, r):
+    """Gaussian window exp(-k r^2 / 2); callers pass k = |k|^2 (reference
+    shear.py:34-36 keeps the same quirkily-named parameter)."""
+    return np.exp(-k * r * r / 2.0)
 
 
 def get_tidal(dfour, karr, N_dim, R=None, dtype=np.float32):

@@ -133,3 +133,55 @@ def test_compat_helpers_functional():
     n = bc.decompress([framed], memoryview(out))
     assert n == data.nbytes
     npt.assert_array_equal(out.view(np.int64), data)
+
+
+# The inner population kernels are TPU-reshaped by design: the reference
+# passes per-tracer dicts + want flags + Nthread into numba kernels; here
+# the same inputs arrive as prepared tracer-param structures consumed by one
+# vectorized program. The call-compatible surface is one level up
+# (gen_gals / gen_gal_cat / AbacusHOD), which the audit below enforces.
+SIGNATURE_RESHAPED = {
+    'abacusnbody.hod.GRAND_HOD.gen_cent',
+    'abacusnbody.hod.GRAND_HOD.gen_sats',
+    'abacusnbody.hod.GRAND_HOD.gen_sats_nfw',
+}
+
+
+def test_public_signature_parity():
+    """Every public reference function's named parameters are accepted by
+    the same-named compat callable (or the function is in the documented
+    reshaped-kernel allowlist)."""
+    import ast
+    import inspect
+    from pathlib import Path
+
+    ref = Path('/root/reference')
+    if not ref.exists():
+        pytest.skip('reference checkout not mounted')
+    problems = []
+    for p in sorted((ref / 'abacusnbody').rglob('*.py')):
+        modname = str(p.relative_to(ref).with_suffix('')).replace('/', '.')
+        if modname.endswith('.__init__'):
+            modname = modname[:-9]
+        tree = ast.parse(p.read_text())
+        mod = importlib.import_module(modname)
+        for node in tree.body:
+            if not isinstance(node, ast.FunctionDef) or node.name.startswith('_'):
+                continue
+            if f'{modname}.{node.name}' in SIGNATURE_RESHAPED:
+                continue
+            ours = getattr(mod, node.name, None)
+            if ours is None or not callable(ours):
+                continue
+            try:
+                sig = inspect.signature(ours)
+            except (ValueError, TypeError):
+                continue
+            if any(v.kind == inspect.Parameter.VAR_KEYWORD
+                   for v in sig.parameters.values()):
+                continue
+            ref_args = [a.arg for a in node.args.args + node.args.kwonlyargs]
+            missing = [a for a in ref_args if a not in sig.parameters]
+            if missing:
+                problems.append(f'{modname}.{node.name}: {missing}')
+    assert not problems, problems
