@@ -69,16 +69,20 @@ def gaussian_filter(field, nmesh, lbox, kcut):
 
 def filter_field(delta_k, n1d, L, kcut, dtype=np.float32):
     """Filter an rfft field in place-like fashion (returns filtered copy)."""
+    from ...ops.power import _to_device_complex
+
     kv, kz = _kvec(n1d, L)
     k2 = kv[:, None, None] ** 2 + kv[None, :, None] ** 2 + kz[None, None, :] ** 2
-    return jnp.asarray(delta_k) * jnp.exp(-k2 / jnp.float32(2.0 * kcut**2))
+    return _to_device_complex(delta_k) * jnp.exp(-k2 / jnp.float32(2.0 * kcut**2))
 
 
 def get_n2_fft(delta_k, n1d, L, dtype=np.float32):
     """-k^2 delta_k in Fourier space (reference ic_fields.py:152-189)."""
     kv, kz = _kvec(n1d, L)
     k2 = kv[:, None, None] ** 2 + kv[None, :, None] ** 2 + kz[None, None, :] ** 2
-    return np.asarray(-k2 * jnp.asarray(delta_k), np.complex64)
+    from ...ops.power import _to_device_complex
+
+    return np.asarray(-k2 * _to_device_complex(delta_k), np.complex64)
 
 
 def get_sij_fft(i_comp, j_comp, delta_k, n1d, L, dtype=np.float32):
@@ -87,9 +91,12 @@ def get_sij_fft(i_comp, j_comp, delta_k, n1d, L, dtype=np.float32):
     ks = (kv[:, None, None], kv[None, :, None], kz[None, None, :])
     k2 = ks[0] ** 2 + ks[1] ** 2 + ks[2] ** 2
     inv_k2 = jnp.where(k2 > 0, 1.0 / k2, 0.0)
-    sij = jnp.asarray(delta_k) * (ks[i_comp] * ks[j_comp] * inv_k2)
+    from ...ops.power import _to_device_complex
+
+    dk = _to_device_complex(delta_k)
+    sij = dk * (ks[i_comp] * ks[j_comp] * inv_k2)
     if i_comp == j_comp:
-        sij = sij - jnp.asarray(delta_k) * jnp.float32(1.0 / 3.0)
+        sij = sij - dk * jnp.float32(1.0 / 3.0)
     return np.asarray(sij, np.complex64)
 
 

@@ -118,7 +118,7 @@ def shift_field_fft(field_fft, field_shift_fft, n1d, L, d, dtype=np.float32):
     shift_field_fft power_spectrum.py:904-948)."""
     return np.asarray(
         _interlace_combine(
-            jnp.asarray(field_fft), jnp.asarray(field_shift_fft),
+            _to_device_complex(field_fft), _to_device_complex(field_shift_fft),
             int(n1d), float(L), float(d),
         ),
         np.complex64,
@@ -128,6 +128,27 @@ def shift_field_fft(field_fft, field_shift_fft, n1d, L, d, dtype=np.float32):
 # ---------------------------------------------------------------------------
 # Mode geometry for the rfft layout
 # ---------------------------------------------------------------------------
+
+
+def _to_device_complex(a):
+    """Device transfer for possibly-complex host arrays. The axon TPU
+    tunnel's host->device path for complex dtypes is Unimplemented (ops on
+    a directly uploaded complex64 array fail); uploading the real and
+    imaginary parts separately and combining on device works everywhere
+    and is a no-op penalty on normal backends."""
+    if isinstance(a, jax.Array):
+        return a
+    a = np.asarray(a)
+    if not np.iscomplexobj(a):
+        return jnp.asarray(a)
+    ftype = (
+        np.float64
+        if a.dtype == np.complex128 and jax.config.x64_enabled
+        else np.float32
+    )
+    re = jnp.asarray(np.ascontiguousarray(a.real.astype(ftype)))
+    im = jnp.asarray(np.ascontiguousarray(a.imag.astype(ftype)))
+    return jax.lax.complex(re, im)
 
 
 def _mode_geometry(n1d):
@@ -626,7 +647,10 @@ def calc_pk_from_deltak(
 ):
     """P(k,mu) (+ multipoles) from Fourier field(s)
     (reference calc_pk_from_deltak:730-805)."""
-    raw_p3d = get_raw_power(jnp.asarray(field_fft), None if field2_fft is None else jnp.asarray(field2_fft))
+    raw_p3d = get_raw_power(
+        _to_device_complex(field_fft),
+        None if field2_fft is None else _to_device_complex(field2_fft),
+    )
     nmesh = raw_p3d.shape[0]
     power, N_mode, binned_poles, N_mode_poles, k_avg = bin_kmu(
         nmesh, Lbox, k_bin_edges, mu_bin_edges, raw_p3d, poles
