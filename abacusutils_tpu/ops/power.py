@@ -722,7 +722,7 @@ def get_delta_mu2_jit(delta, n1d):
 
 def get_delta_mu2(delta, n1d, dtype_c=np.complex64, dtype_f=np.float32):
     """delta * mu^2 in Fourier space (reference get_delta_mu2:577-617)."""
-    return get_delta_mu2_jit(jnp.asarray(delta), int(n1d))
+    return get_delta_mu2_jit(_to_device_complex(delta), int(n1d))
 
 
 def expand_poles_to_3d(k_ell, P_ell, n1d, L, poles, dtype=np.float32):
