@@ -80,9 +80,9 @@ def get_n2_fft(delta_k, n1d, L, dtype=np.float32):
     """-k^2 delta_k in Fourier space (reference ic_fields.py:152-189)."""
     kv, kz = _kvec(n1d, L)
     k2 = kv[:, None, None] ** 2 + kv[None, :, None] ** 2 + kz[None, None, :] ** 2
-    from ...ops.power import _to_device_complex
+    from ...ops.power import _from_device_complex, _to_device_complex
 
-    return np.asarray(-k2 * _to_device_complex(delta_k), np.complex64)
+    return _from_device_complex(-k2 * _to_device_complex(delta_k)).astype(np.complex64)
 
 
 def get_sij_fft(i_comp, j_comp, delta_k, n1d, L, dtype=np.float32):
@@ -91,13 +91,13 @@ def get_sij_fft(i_comp, j_comp, delta_k, n1d, L, dtype=np.float32):
     ks = (kv[:, None, None], kv[None, :, None], kz[None, None, :])
     k2 = ks[0] ** 2 + ks[1] ** 2 + ks[2] ** 2
     inv_k2 = jnp.where(k2 > 0, 1.0 / k2, 0.0)
-    from ...ops.power import _to_device_complex
+    from ...ops.power import _from_device_complex, _to_device_complex
 
     dk = _to_device_complex(delta_k)
     sij = dk * (ks[i_comp] * ks[j_comp] * inv_k2)
     if i_comp == j_comp:
         sij = sij - dk * jnp.float32(1.0 / 3.0)
-    return np.asarray(sij, np.complex64)
+    return _from_device_complex(sij).astype(np.complex64)
 
 
 def add_ij(final_field, field_to_add, n1d, factor=1.0, dtype=np.float32):

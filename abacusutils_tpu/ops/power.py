@@ -116,13 +116,12 @@ def linear_interp(xd, x, y):
 def shift_field_fft(field_fft, field_shift_fft, n1d, L, d, dtype=np.float32):
     """Interlaced Fourier field (F + F_shift e^{ik.d/2})/(2 N^3) (reference
     shift_field_fft power_spectrum.py:904-948)."""
-    return np.asarray(
+    return _from_device_complex(
         _interlace_combine(
             _to_device_complex(field_fft), _to_device_complex(field_shift_fft),
             int(n1d), float(L), float(d),
-        ),
-        np.complex64,
-    )
+        )
+    ).astype(np.complex64)
 
 
 # ---------------------------------------------------------------------------
@@ -149,6 +148,15 @@ def _to_device_complex(a):
     re = jnp.asarray(np.ascontiguousarray(a.real.astype(ftype)))
     im = jnp.asarray(np.ascontiguousarray(a.imag.astype(ftype)))
     return jax.lax.complex(re, im)
+
+
+def _from_device_complex(x):
+    """Host transfer for possibly-complex device arrays (the axon tunnel's
+    device->host complex path is Unimplemented too): download the real and
+    imaginary parts separately and recombine on host."""
+    if isinstance(x, jax.Array) and jnp.iscomplexobj(x):
+        return np.asarray(x.real) + 1j * np.asarray(x.imag)
+    return np.asarray(x)
 
 
 def _mode_geometry(n1d):
