@@ -49,7 +49,9 @@ def get_tidal(dfour, karr, N_dim, R=None, dtype=np.float32):
     (xx, xy, xz, yy, yz, zz), keeping the reference's a*b*c == 0 mode skip
     and optional tophat smoothing (reference get_tidal shear.py:39-66).
     Returns (N, N, N//2+1, 6) complex64."""
-    dfour = jnp.asarray(dfour)
+    from .power import _to_device_complex
+
+    dfour = _to_device_complex(dfour)
     karr = jnp.asarray(karr, dtype)
     kzlen = N_dim // 2 + 1
     ka = karr[:, None, None]
@@ -73,7 +75,9 @@ def get_tidal(dfour, karr, N_dim, R=None, dtype=np.float32):
             kc * kc * dok2,
         ]
     )
-    return np.asarray(jnp.moveaxis(comps, 0, -1), np.complex64)
+    from .power import _from_device_complex
+
+    return _from_device_complex(jnp.moveaxis(comps, 0, -1)).astype(np.complex64)
 
 
 def get_shear_nb(tidr, N_dim):
