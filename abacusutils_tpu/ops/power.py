@@ -879,12 +879,13 @@ class StagedPower:
     the (x-cell, y-block) paint grouping never depends on z, so only the
     new z column is (re)staged. Pass a jax.Array to keep that on device.
 
-    TSC paste only (the MXU deposit path); interlacing is not supported in
-    staged form (its shifted paint needs a second grouping) — use
-    calc_power for interlaced one-shots.
+    ``interlaced=True`` stages the catalog twice (the half-cell-shifted
+    paint has its own grouping) and each field_fft combines both paints;
+    TSC paste only (the MXU deposit path).
     """
 
-    def __init__(self, pos, lbox, nmesh=256, w=None, paste='TSC'):
+    def __init__(self, pos, lbox, nmesh=256, w=None, paste='TSC',
+                 interlaced=False):
         from .grid import default_yblock
         from .grid_pallas import build_paint_plan2d
 
@@ -894,61 +895,79 @@ class StagedPower:
         self.lbox = float(lbox)
         self.nmesh = int(nmesh)
         self.n_part = len(pos)
+        self.interlaced = bool(interlaced)
         B = default_yblock(nmesh)
         occ = self.n_part // (nmesh * (nmesh // B)) + 1
-        self._chunk = int(min(8192, max(512, 1 << (occ.bit_length() - 1))))
-        plan = build_paint_plan2d(
-            pos[:, 0], pos[:, 1], nmesh, lbox, yb=B, chunk=self._chunk
-        )
-        self._plan = plan
-        pad = np.asarray(plan.pad_idx)  # (ncell, K) grouped layout
-        self._pad = pad
-
-        def stage(col):
-            ext = np.concatenate(
-                [np.asarray(col, np.float32), np.zeros(1, np.float32)]
+        self._chunk = int(min(32768, max(512, 1 << occ.bit_length())))
+        w_col = np.ones(self.n_part, np.float32) if w is None else w
+        offsets = [0.0]
+        if interlaced:
+            offsets.append(0.5 * self.lbox / self.nmesh)
+        self._stages = []
+        for off in offsets:
+            plan = build_paint_plan2d(
+                pos[:, 0], pos[:, 1], nmesh, lbox, yb=B, offset=off,
+                chunk=self._chunk,
             )
-            return jnp.asarray(ext[pad])
+            pad = np.asarray(plan.pad_idx)  # (ncell, K) grouped layout
 
-        self._xg = stage(pos[:, 0])
-        self._yg = stage(pos[:, 1])
-        self._zg = stage(pos[:, 2])
-        self._wg = stage(np.ones(self.n_part, np.float32) if w is None else w)
-        self._pad_dev = None  # device copy of pad, built on first device pz
+            def stage(col, pad=pad):
+                ext = np.concatenate(
+                    [np.asarray(col, np.float32), np.zeros(1, np.float32)]
+                )
+                return jnp.asarray(ext[pad])
+
+            self._stages.append({
+                'plan': plan, 'pad': pad, 'pad_dev': None,
+                'xg': stage(pos[:, 0]), 'yg': stage(pos[:, 1]),
+                'zg': stage(pos[:, 2]), 'wg': stage(w_col),
+            })
         self._is_weighted = w is not None
 
-    def _staged_z(self, pz):
+    def _staged_z(self, st, pz):
         if pz is None:
-            return self._zg
+            return st['zg']
         if isinstance(pz, jax.Array):
-            if self._pad_dev is None:
-                self._pad_dev = jnp.asarray(self._pad)
+            if st['pad_dev'] is None:
+                st['pad_dev'] = jnp.asarray(st['pad'])
             ext = jnp.concatenate(
                 [pz.astype(jnp.float32), jnp.zeros(1, jnp.float32)]
             )
-            return ext[self._pad_dev]
+            return ext[st['pad_dev']]
         ext = np.concatenate(
             [np.asarray(pz, np.float32), np.zeros(1, np.float32)]
         )
-        return jnp.asarray(ext[self._pad])
+        return jnp.asarray(ext[st['pad']])
 
     def field_fft(self, compensated=True, pz=None):
         """Fourier overdensity of the staged catalog (optionally with a
-        per-call z column). Matches get_field_fft(interlaced=False)."""
+        per-call z column). Matches get_field_fft with this stage's
+        interlacing setting."""
         from .grid import _paint_planned_yb_jit
 
-        p = self._plan
-        grid = _paint_planned_yb_jit(
-            self._xg, self._yg, self._staged_z(pz), self._wg,
-            p.box, p.offset, p.nmesh, p.yb, p.K, self._chunk,
-        )
-        delta = grid * jnp.float32(grid.size / self.n_part) - jnp.float32(1.0)
-        fft = jnp.fft.rfftn(delta) * jnp.float32(1.0 / grid.size)
+        def delta(st):
+            p = st['plan']
+            grid = _paint_planned_yb_jit(
+                st['xg'], st['yg'], self._staged_z(st, pz), st['wg'],
+                p.box, p.offset, p.nmesh, p.yb, p.K, self._chunk,
+            )
+            return grid * jnp.float32(grid.size / self.n_part) - jnp.float32(1.0)
+
+        if self.interlaced:
+            d = self.lbox / self.nmesh
+            fft = _interlace_combine(
+                jnp.fft.rfftn(delta(self._stages[0])),
+                jnp.fft.rfftn(delta(self._stages[1])),
+                int(self.nmesh), float(self.lbox), float(d),
+            )
+        else:
+            d0 = delta(self._stages[0])
+            fft = jnp.fft.rfftn(d0) * jnp.float32(1.0 / d0.size)
         if compensated:
             W = jnp.asarray(
-                get_W_compensated(self.lbox, self.nmesh, 'TSC', False).astype(
-                    np.float32
-                )
+                get_W_compensated(
+                    self.lbox, self.nmesh, 'TSC', self.interlaced
+                ).astype(np.float32)
             )
             fft = fft / (
                 W[:, None, None] * W[None, :, None]
@@ -964,8 +983,13 @@ class StagedPower:
         the same box/mesh) measures the cross spectrum; pz/pz2 override the
         z columns of either side per call."""
         nmesh, lbox = self.nmesh, self.lbox
-        if cross is not None and (cross.nmesh != nmesh or cross.lbox != lbox):
-            raise ValueError('cross-stage must share (lbox, nmesh)')
+        if cross is not None and (
+            cross.nmesh != nmesh or cross.lbox != lbox
+            or cross.interlaced != self.interlaced
+        ):
+            raise ValueError(
+                'cross-stage must share (lbox, nmesh, interlaced)'
+            )
         if kbins is None:
             kbins = nmesh
         if k_max is None:
@@ -975,7 +999,7 @@ class StagedPower:
             mubins = 1
         meta = dict(
             Lbox=lbox, logk=logk, paste='TSC', nmesh=nmesh,
-            compensated=compensated, interlaced=False, poles=poles,
+            compensated=compensated, interlaced=self.interlaced, poles=poles,
             N_pos=self.n_part, is_weighted=self._is_weighted,
             squeeze_mu_axis=squeeze_mu_axis,
         )

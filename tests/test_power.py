@@ -305,3 +305,27 @@ def test_staged_power_cross():
         atol=1e-6 * np.abs(np.asarray(want['power'])).max(),
     )
     npt.assert_array_equal(np.asarray(got['N_mode']), np.asarray(want['N_mode']))
+
+
+def test_staged_power_interlaced():
+    """interlaced=True StagedPower (double-staged shifted paint) matches
+    calc_power(interlaced=True) exactly."""
+    import numpy.testing as npt
+
+    from abacusutils_tpu.ops.power import StagedPower
+
+    rng = np.random.default_rng(51)
+    n, nmesh, Lbox = 120_000, 32, 500.0
+    pos = (rng.random((n, 3)) * Lbox).astype(np.float32)
+    staged = StagedPower(pos, Lbox, nmesh=nmesh, interlaced=True)
+    got = staged.power(kbins=16, poles=[0, 2])
+    want = calc_power(
+        pos, Lbox, kbins=16, k_max=np.pi * nmesh / Lbox, nmesh=nmesh,
+        paste='TSC', compensated=True, interlaced=True, poles=[0, 2],
+    )
+    npt.assert_allclose(
+        np.asarray(got['power']), np.asarray(want['power']), rtol=2e-4,
+        atol=1e-6 * np.abs(np.asarray(want['power'])).max(),
+    )
+    npt.assert_array_equal(np.asarray(got['N_mode']), np.asarray(want['N_mode']))
+    assert got.meta['interlaced'] is True
