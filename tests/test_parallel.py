@@ -243,3 +243,71 @@ def test_field_fft_slab_matches_single():
         atol=1e-5 * np.abs(pw).max(),
     )
     npt.assert_array_equal(got['N_mode'], np.asarray(want['N_mode']))
+
+
+def test_advect_fields_sharded_route_matches_single(tmp_path):
+    """advect_fields.main(mesh=) routes each paint+FFT through the slab
+    pipeline; the advected FFT files must match the single-device run.
+    Uses a 4-device sub-mesh (the nmesh=8 fixture needs xl >= 2)."""
+    import shutil
+    from pathlib import Path
+
+    import yaml
+
+    from abacusutils_tpu.io.asdf_file import open_asdf
+    from abacusutils_tpu.models.zcv import advect_fields
+
+    testdata = Path('/root/reference/tests')
+    if not (testdata / 'data_zcv').is_dir():
+        import pytest as _pytest
+
+        _pytest.skip('data_zcv fixture not mounted')
+
+    cfg = yaml.safe_load(open(testdata / 'abacus_hod.yaml'))
+    cfg['sim_params']['sim_name'] = 'AbacusSummit_base_c000_ph006'
+    cfg['sim_params']['z_mock'] = 0.8
+
+    outs = {}
+    for tag, mesh in (
+        ('single', None),
+        ('slab', make_mesh(jax.devices()[:4])),
+    ):
+        zcv_dir = tmp_path / f'zcv_{tag}'
+        shutil.copytree(testdata / 'data_zcv', zcv_dir)
+        for p in zcv_dir.rglob('*'):
+            p.chmod(0o755 if p.is_dir() else 0o644)
+        # force regeneration of the advected FFTs from ic_filt
+        for p in (zcv_dir / 'AbacusSummit_base_c000_ph006' / 'z0.800').glob(
+            'advected_*'
+        ):
+            p.unlink()
+        for p in (zcv_dir / 'AbacusSummit_base_c000_ph006' / 'z0.800').glob(
+            'power*_ij_*'
+        ):
+            p.unlink()
+        c = yaml.safe_load(yaml.safe_dump(cfg))
+        c['zcv_params']['zcv_dir'] = str(zcv_dir)
+        # the fixture's ic_filt header carries its own kcut (the fixture
+        # pieces are mutually inconsistent; regeneration must match the IC)
+        c['zcv_params']['kcut'] = 0.4523893421169302
+        c['power_params']['paste'] = 'TSC'  # the slab route is TSC-only
+        fn = tmp_path / f'cfg_{tag}.yaml'
+        yaml.safe_dump(c, open(fn, 'w'))
+        advect_fields.main(str(fn), want_rsd=False, mesh=mesh)
+        outs[tag] = zcv_dir / 'AbacusSummit_base_c000_ph006' / 'z0.800'
+
+    for kn in ('1cb', 'delta', 'delta2'):
+        vals = {}
+        for tag, d in outs.items():
+            with open_asdf(d / f'advected_{kn}_field_fft_nmesh8.asdf') as f:
+                vals[tag] = (
+                    np.asarray(f['data'][f'{kn}_Re'])
+                    + 1j * np.asarray(f['data'][f'{kn}_Im'])
+                )
+        scale = np.abs(vals['single']).max()
+        # paint-order + transpose-FFT reordering leaves ~1e-4*scale float
+        # noise on near-zero modes
+        npt.assert_allclose(
+            vals['slab'], vals['single'], atol=1e-4 * scale, rtol=1e-3,
+            err_msg=kn,
+        )
