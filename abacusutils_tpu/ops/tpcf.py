@@ -213,20 +213,30 @@ _OFFSETS = [(di, dj, dk) for di in (-1, 0, 1) for dj in (-1, 0, 1)
             for dk in (-1, 0, 1)]
 
 
-@partial(jax.jit, static_argnames=('nc',))
-def _stage_items(tblA, tblB, nc):
+@partial(jax.jit, static_argnames=('nc', 'autocorr'))
+def _stage_items(tblA, tblB, nc, autocorr=False):
     """Sort the (cell, offset) item grid by (row-class, neighbor-class) combo.
     tbl* pack class (high byte) and class-local row (low 24 bits) per cell;
     empty cells carry class 0xFF and sort to the tail. The 27 neighbor tables
-    come from rolls of the 3D cell grid — no gathers."""
+    come from rolls of the 3D cell grid — no gathers.
+
+    Autocorrelations exploit pair-exchange symmetry (rp/s and |dz| are both
+    symmetric): only the center offset plus the 13 lexicographically
+    positive ones are enumerated, and the combo key's low bit marks
+    center-vs-mirrored so the caller can double the mirrored counts."""
     C = nc * nc * nc
     b3 = tblB.reshape(nc, nc, nc)
+    offs = _OFFSETS[13:] if autocorr else _OFFSETS
     bs = jnp.stack(
         [jnp.roll(b3, (-di, -dj, -dk), (0, 1, 2)).reshape(C)
-         for (di, dj, dk) in _OFFSETS]
+         for (di, dj, dk) in offs]
     )
-    a = jnp.broadcast_to(tblA[None, :], (27, C))
+    noff = len(offs)
+    a = jnp.broadcast_to(tblA[None, :], (noff, C))
     combo = ((a >> 24) & 0xFF) * 256 + ((bs >> 24) & 0xFF)
+    if autocorr:
+        mirrored = (jnp.arange(noff) != 0).astype(jnp.int32)[:, None]
+        combo = combo * 2 + mirrored
     _, ia, ib = jax.lax.sort(
         (combo.reshape(-1), (a & 0xFFFFFF).reshape(-1),
          (bs & 0xFFFFFF).reshape(-1)),
@@ -381,15 +391,20 @@ class _SideStage:
         self.classid3 = np.where(live, classid, 255).reshape(nc, nc, nc)
 
 
-def _combo_sizes(sideA, sideB, nc):
-    """Host item counts per (row-class, neighbor-class) combo, in the same
-    combo-key order the device item sort uses."""
+def _combo_sizes(sideA, sideB, nc, autocorr=False):
+    """Host item counts per combo key, in the same order the device item
+    sort uses (autocorr keys carry the center/mirrored bit)."""
     a3 = sideA.classid3
+    offs = _OFFSETS[13:] if autocorr else _OFFSETS
     keys = []
-    for (di, dj, dk) in _OFFSETS:
+    for o, (di, dj, dk) in enumerate(offs):
         b3 = np.roll(sideB.classid3, (-di, -dj, -dk), (0, 1, 2))
-        keys.append((a3.astype(np.int32) * 256 + b3).reshape(-1))
-    return np.bincount(np.concatenate(keys), minlength=256 * 256)
+        key = (a3.astype(np.int32) * 256 + b3).reshape(-1)
+        if autocorr:
+            key = key * 2 + (1 if o != 0 else 0)
+        keys.append(key)
+    n = 256 * 256 * (2 if autocorr else 1)
+    return np.bincount(np.concatenate(keys), minlength=n)
 
 
 _CELL_MIN_N = 100_000  # below this the O(N^2) tiled kernel wins on latency
@@ -430,19 +445,27 @@ def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
     # the sorted item list and combo sizes depend only on the two stages:
     # memoize on them (cached stages make repeat calls skip this too)
     items = getattr(sideA, '_items_cache', None)
-    if items is not None and items[0] is sideB:
-        _, ia, ib, sizes = items
+    if items is not None and items[0] is sideB and items[1] == autocorr:
+        _, _, ia, ib, sizes = items
     else:
-        ia, ib = _stage_items(sideA.tbl, sideB.tbl, nc)
-        sizes = _combo_sizes(sideA, sideB, nc)
-        sideA._items_cache = (sideB, ia, ib, sizes)
+        ia, ib = _stage_items(sideA.tbl, sideB.tbl, nc, autocorr=autocorr)
+        sizes = _combo_sizes(sideA, sideB, nc, autocorr=autocorr)
+        sideA._items_cache = (sideB, autocorr, ia, ib, sizes)
 
     edges2_j = jnp.asarray(np.asarray(edges2, np.float64))
     acc = None  # accumulate on device; one host sync at the end
     off = 0
     for ckey in np.flatnonzero(sizes):
         P = int(sizes[ckey])
-        a, b = ckey // 256, ckey % 256
+        if autocorr:
+            # exchange symmetry: mirrored-offset items carry each unordered
+            # cross-cell pair once; double them to restore ordered counts
+            mult = 2 if ckey % 2 else 1
+            combo = ckey // 2
+        else:
+            mult = 1
+            combo = ckey
+        a, b = combo // 256, combo % 256
         if a == 255 or b == 255:  # an empty cell on either side: no pairs
             off += P
             continue
@@ -458,6 +481,7 @@ def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
             edges2_j, jnp.float32(aux), jnp.float32(lbox),
             mode, nb1, nb2, capA, capB, Pc,
         )
+        counts = counts * mult if mult != 1 else counts
         acc = counts if acc is None else acc + counts
         off += P
 
