@@ -124,7 +124,10 @@ def _bin_modes(raw, nmesh, lbox, kedges, muedges, poles):
             for c in range(nmesh // 2 + 1):
                 k2 = kint[a] ** 2 + kint[b] ** 2 + c**2
                 mu2 = c**2 / k2 if k2 > 0 else 0.0
-                dup = 1.0 if c == 0 else 2.0
+                # hermitian weights: kz=0 and (even nmesh) the
+                # self-conjugate kz=nmesh/2 plane each represent one mode
+                single = c == 0 or (nmesh % 2 == 0 and c == nmesh // 2)
+                dup = 1.0 if single else 2.0
                 if not (ke2[0] <= k2 < ke2[-1]):
                     continue
                 bk = min(max(np.searchsorted(ke2, k2, side='left') - 1, 0), Nk - 1)
@@ -186,6 +189,38 @@ def test_power_vs_direct_dft(paste, compensated, interlaced):
         np.asarray(res['power']), power, rtol=2e-4, atol=2e-5 * scale
     )
     npt.assert_allclose(np.asarray(res['k_avg']), k_avg, rtol=1e-5, atol=1e-8)
+    npt.assert_allclose(
+        np.asarray(res['poles']).T, pk_ell, rtol=3e-4, atol=3e-5 * scale
+    )
+
+
+def test_power_beyond_nyquist_vs_direct_dft():
+    """Bins extending beyond the Nyquist sphere: every cube mode is binned
+    and the self-conjugate kz = nmesh/2 plane must count once (total mode
+    count = nmesh^3). Validates the single-count convention against the
+    independent DFT reference."""
+    rng = np.random.default_rng(7)
+    pos = (rng.random((NP, 3)) * LBOX).astype(np.float32)
+
+    k_max = 2 * np.pi * NMESH / LBOX  # covers the full cube corner-to-corner
+    kedges = np.linspace(0.0, k_max, KBINS + 1)
+    muedges = np.linspace(0.0, 1.0, MUBINS + 1)
+
+    res = calc_power(
+        pos, LBOX, kbins=KBINS, mubins=MUBINS, k_max=k_max, paste='TSC',
+        nmesh=NMESH, compensated=False, interlaced=False, poles=list(POLES),
+    )
+    F = _delta_k(pos.astype(np.float64), NMESH, LBOX, 'TSC', False, False)
+    power, counts, k_avg, pk_ell, pcount = _bin_modes(
+        np.abs(F) ** 2, NMESH, LBOX, kedges, muedges, POLES
+    )
+
+    assert counts.sum() == NMESH**3  # every mode exactly once
+    npt.assert_array_equal(np.asarray(res['N_mode']), counts.astype(np.int64))
+    scale = np.abs(power).max()
+    npt.assert_allclose(
+        np.asarray(res['power']), power, rtol=2e-4, atol=2e-5 * scale
+    )
     npt.assert_allclose(
         np.asarray(res['poles']).T, pk_ell, rtol=3e-4, atol=3e-5 * scale
     )
