@@ -1,12 +1,12 @@
 r"""Pair counting and two-point correlation functions on device.
 
 Replaces the reference's external Corrfunc C/OpenMP library
-(/root/reference/abacusnbody/analysis/tpcf_corrfunc.py) with jitted pair
-kernels: ordered pair counts (i != j) on a periodic box, binned in
-(rp, pi) or (s, mu), accumulated tile-by-tile with `lax.scan` so memory
-stays bounded while the distance evaluations stream through the VPU.
-Wrappers `calc_xirppi_fast` / `calc_wp_fast` / `calc_multipole_fast` keep the
-reference API: DD counts + analytic RR for the periodic box.
+(/root/reference/abacusnbody/analysis/tpcf_corrfunc.py) with two jitted
+engines: a tiled O(N^2) kernel for small N, and a device-staged cell-grid
+engine (see the section banner below) that beats Corrfunc-on-32-cores on a
+single chip once a catalog is staged. Wrappers `calc_xirppi_fast` /
+`calc_wp_fast` / `calc_multipole_fast` keep the reference API: DD counts +
+analytic RR for the periodic box, with a `pos1=`/`pos2=` staging extension.
 
 Conventions matched to Corrfunc: pairs counted ordered (each unordered pair
 twice for autocorrelation), pi = |dz| in unit bins up to pimax, mu = |dz|/s,
