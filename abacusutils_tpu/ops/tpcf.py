@@ -77,7 +77,10 @@ def _count_rppi(pos1, pos2, rpbins2, pimax, lbox, nrp, npi, autocorr, ntile,
 
 
 @partial(jax.jit, static_argnames=('ns', 'nmu', 'autocorr', 'ntile'))
-def _count_smu(pos1, pos2, sbins2, nmu_f, lbox, ns, nmu, autocorr, ntile):
+def _count_smu(pos1, pos2, sbins2, nmu_f, lbox, ns, nmu, autocorr, ntile,
+               i_offset=0):
+    """`i_offset` shifts pos1's global indices for sharded
+    autocorrelations (see _count_rppi)."""
     def tile_counts(carry, tile):
         counts = carry
         p1, valid1, i_idx = tile
@@ -99,7 +102,7 @@ def _count_smu(pos1, pos2, sbins2, nmu_f, lbox, ns, nmu, autocorr, ntile):
 
     T = pos1.shape[0] // ntile
     valid = jnp.isfinite(pos1[:, 0]).reshape(ntile, T)
-    idx = jnp.arange(pos1.shape[0]).reshape(ntile, T)
+    idx = (jnp.arange(pos1.shape[0]) + i_offset).reshape(ntile, T)
     counts = jnp.zeros(ns * nmu, jnp.int64 if jax.config.x64_enabled else jnp.int32)
     counts, _ = jax.lax.scan(
         tile_counts, counts, (pos1.reshape(ntile, T, 3), valid, idx)

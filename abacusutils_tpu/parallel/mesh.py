@@ -24,6 +24,7 @@ __all__ = [
     'shard_particles',
     'calc_power_sharded',
     'pair_counts_rppi_sharded',
+    'pair_counts_smu_sharded',
 ]
 
 
@@ -312,3 +313,52 @@ def pair_counts_rppi_sharded(
 
     counts = step(p1, p2, rpbins2)
     return np.asarray(counts, np.int64).reshape(nrp, npi)
+
+
+def pair_counts_smu_sharded(
+    pos1, sbins, nbins_mu, lbox, mesh=None, pos2=None, axis='data'
+):
+    """Ordered (s, mu) pair counts with pos1 sharded over a device mesh
+    (the smu counterpart of pair_counts_rppi_sharded). Same
+    conventions/result as ops.tpcf.pair_counts_smu."""
+    from ..ops.tpcf import _TILE, _count_smu
+
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.shape[axis]
+    autocorr = pos2 is None
+    pos1 = np.asarray(pos1, np.float64)
+    pos2a = pos1 if autocorr else np.asarray(pos2, np.float64)
+    sbins = np.asarray(sbins)
+    ns = len(sbins) - 1
+    nmu = int(nbins_mu)
+
+    n = len(pos1)
+    rows_per = -(-n // (ndev * _TILE)) * _TILE
+    pad = rows_per * ndev - n
+    if pad:
+        pos1 = np.concatenate([pos1, np.full((pad, 3), np.inf, pos1.dtype)])
+    ntile_local = rows_per // _TILE
+
+    p1 = jax.device_put(pos1, NamedSharding(mesh, P(axis)))
+    p2 = jnp.asarray(pos2a)
+    sbins2 = jnp.asarray(sbins.astype(np.float64) ** 2)
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=P(),
+        check_vma=False,  # scan carry inits inside _count_smu are unvarying
+    )
+    def step(p1_l, p2_l, sbins2_l):
+        i0 = jax.lax.axis_index(axis) * p1_l.shape[0]
+        c = _count_smu(
+            p1_l, p2_l, sbins2_l, float(nmu), float(lbox), ns, nmu,
+            autocorr, ntile_local, i0,
+        )
+        return jax.lax.psum(c, axis)
+
+    counts = step(p1, p2, sbins2)
+    return np.asarray(counts, np.int64).reshape(ns, nmu)

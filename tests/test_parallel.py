@@ -311,3 +311,17 @@ def test_advect_fields_sharded_route_matches_single(tmp_path):
             vals['slab'], vals['single'], atol=1e-4 * scale, rtol=1e-3,
             err_msg=kn,
         )
+
+
+def test_pair_counts_smu_sharded_matches_single():
+    from abacusutils_tpu.ops.tpcf import pair_counts_smu
+    from abacusutils_tpu.parallel.mesh import pair_counts_smu_sharded
+
+    rng = np.random.default_rng(22)
+    lbox = 300.0
+    pos = rng.random((5001, 3)) * lbox
+    sbins = np.linspace(0.1, 25, 7)
+
+    dd_s = pair_counts_smu_sharded(pos, sbins, 10, lbox, mesh=make_mesh())
+    dd = pair_counts_smu(pos, sbins, 10, lbox, method='tile')
+    npt.assert_array_equal(dd_s, dd)
