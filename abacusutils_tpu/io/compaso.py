@@ -243,16 +243,208 @@ user_dt = np.dtype(
 # ---------------------------------------------------------------------------
 
 
-class _DepCapture:
-    """Records column accesses so we can compute raw-file dependencies."""
+class _ColumnProbe:
+    """Stand-in table that records which columns a loader touches.
+
+    Used to discover, per user-facing field, (a) which raw on-disk columns
+    must be read and (b) which other derived halo columns must be computed
+    first. Returns a benign numeric so loader arithmetic runs through.
+    """
 
     def __init__(self):
-        self.keys = []
-        self.colnames = []
+        self.touched = []
+        self.colnames = ()
 
     def __getitem__(self, key):
-        self.keys.append(key)
+        self.touched.append(key)
         return np.ones(1)
+
+
+def _probe_loader(loader, match):
+    """Run a loader against probes; return (raw_columns, halo_columns)."""
+    raw_probe = _ColumnProbe()
+    halo_probe = _ColumnProbe()
+    loader(match, raw_probe, halo_probe)
+    return raw_probe.touched, halo_probe.touched
+
+
+# ---------------------------------------------------------------------------
+# catalog layout resolution (paths -> halo_info / cleaning file lists)
+# ---------------------------------------------------------------------------
+
+
+def _slab_id(fn):
+    """Superslab index encoded as the trailing _NNN of a halo_info filename."""
+    return int(Path(fn).stem.rsplit('_', 1)[-1])
+
+
+def _resolve_halo_info_files(path, halo_lc):
+    """Normalize the user's `path` argument to (groupdir, sorted file list).
+
+    Accepts a redshift directory, a halo_info directory, a single file, or a
+    list of files (all from one catalog).
+    """
+    paths = [Path(path)] if isinstance(path, (PurePath, str)) else [Path(p) for p in path]
+    if not paths:
+        raise ValueError('Empty path list passed to CompaSOHaloCatalog')
+
+    missing = [p for p in paths if not p.exists()]
+    if missing:
+        raise FileNotFoundError(f'No such catalog path: "{missing[0]}"')
+
+    if len(paths) > 1 and any(not p.is_file() for p in paths):
+        bad = next(p for p in paths if not p.is_file())
+        raise ValueError(
+            f'A multi-path argument must consist of halo_info files only; '
+            f'"{bad}" is a directory.'
+        )
+
+    # a halo_info/ dir stands in for its parent redshift dir
+    paths = [
+        p.absolute().parent if p.name == 'halo_info' else p.absolute() for p in paths
+    ]
+
+    if paths[0].is_dir():
+        groupdir = paths[0]
+        pattern = 'lc_halo_info*.asdf' if halo_lc else 'halo_info/halo_info_*.asdf'
+        halo_fns = sorted(groupdir.glob(pattern))
+        if not halo_fns:
+            raise FileNotFoundError(
+                f'Found no halo_info files under "{groupdir}" (pattern "{pattern}")'
+            )
+        return groupdir, halo_fns
+
+    # explicit file list: all must share one catalog directory
+    groupdir = paths[0].parent if halo_lc else paths[0].parents[1]
+    if not halo_lc:
+        strays = [p for p in paths if p.parents[1] != groupdir]
+        if strays:
+            raise ValueError(
+                f'halo_info files belong to different catalogs: '
+                f'"{strays[0]}" is not under "{groupdir}"'
+            )
+    seen = set()
+    for p in paths:
+        if p in seen:
+            raise ValueError(f'halo_info file "{p}" passed more than once')
+        seen.add(p)
+    return groupdir, paths
+
+
+def _sim_tail(groupdir, cleaning_root):
+    """Catalog-identifying path tail (SimName/.../zX.Y with the intermediate
+    'halos' level dropped), relative to the cleaning root's parent.
+
+    This is what the AbacusSummit cleaning trees key their layout on; the
+    known layouts are::
+
+        cleaning/SimName/z0.000/[cleaned_halo_info/]...
+        cleaning/small/SmallSimName/z0.000/...
+        SimName/cleaning/z0.000/...
+    """
+    rel = groupdir.relative_to(Path(cleaning_root).parent)
+    parts = rel.parts
+    if len(parts) >= 2:
+        parts = parts[:-2] + parts[-1:]
+    return Path(*parts) if parts else Path('.')
+
+
+def _locate_cleaning_files(groupdir, cleandir, slab_ids):
+    """Find the cleaned_halo_info files for each superslab.
+
+    Returns (clean_halo_info_dir, clean_rvpid_dir, cleaned_halo_fns).
+    """
+    if cleandir is None:
+        for ancestor in groupdir.parents:
+            candidate = ancestor / 'cleaning'
+            if candidate.is_dir():
+                cleandir = candidate
+                break
+        if cleandir is None:
+            raise FileNotFoundError(
+                f'No "cleaning" directory found above "{groupdir}". '
+                f'Pass cleandir= explicitly, or use cleaned=False.'
+            )
+    cleandir = Path(cleandir)
+
+    base = cleandir / _sim_tail(groupdir, cleandir)
+    if (base / 'cleaned_halo_info').is_dir():
+        info_dir = base / 'cleaned_halo_info'
+        rvpid_dir = base / 'cleaned_rvpid'
+    else:
+        info_dir = rvpid_dir = base
+
+    fns = [info_dir / f'cleaned_halo_info_{i:03d}.asdf' for i in slab_ids]
+    for fn in fns:
+        if not fn.is_file():
+            raise FileNotFoundError(
+                f'Missing cleaned halo info "{fn}"; use cleaned=False to load '
+                f'the catalog without cleaning.'
+            )
+    return info_dir, rvpid_dir, fns
+
+
+# ---------------------------------------------------------------------------
+# subsample-request parsing
+# ---------------------------------------------------------------------------
+
+_DATA_TOKENS = ('pid', 'pos', 'vel', 'rv', 'rvint', 'packedpid')
+_ALL_TOKENS = ('A', 'B', 'unpack', 'field') + _DATA_TOKENS
+
+
+def _parse_subsample_request(request, passthrough=False):
+    """Turn the `subsamples` constructor argument into two selections:
+    which subsample sets to read (['A','B']) and which particle quantities
+    to produce (['pos','vel','pid',...]).
+
+    Same acceptance rules as the reference loader
+    (compaso_halo_catalog.py:433-512): bool shortcuts, rv vs pos/vel
+    conflict, implied defaults with warnings, unknown-key errors.
+    """
+    if request is False:
+        return [], []
+    if request is True:
+        keys = ('A', 'B', 'rvint', 'packedpid') if passthrough else ('A', 'B', 'rv', 'pid')
+        request = dict.fromkeys(keys, True)
+
+    if not isinstance(request, dict):
+        # mirror the reference: non-dict truthy values fall through unparsed
+        return [], []
+
+    if request.get('field', False):
+        raise ValueError(
+            'Field particles are not accessible via CompaSOHaloCatalog; use '
+            'abacusutils_tpu.io.read_abacus.read_asdf() on the field files.'
+        )
+    unknown = [k for k in request if k not in _ALL_TOKENS]
+    if unknown:
+        raise ValueError(f'Unrecognized keys in `load_subsamples`: {unknown}')
+    if 'rv' in request and ('pos' in request or 'vel' in request):
+        raise ValueError('Cannot pass `rv` and `pos` or `vel` in `load_subsamples`.')
+
+    sets = [ab for ab in 'AB' if request.get(ab)]
+    quantities = [k for k in request if k in _DATA_TOKENS and request.get(k)]
+
+    if quantities and not sets:
+        warnings.warn(
+            f'{quantities} requested without subsample A or B; defaulting to A.'
+        )
+        sets = ['A']
+    elif sets and not quantities:
+        # A/B alone implies positions+velocities unless explicitly refused
+        quantities = [q for q in ('pos', 'vel') if request.get(q) is not False]
+        if not quantities:
+            warnings.warn(
+                f'Subsample {sets} requested with no particle quantity; '
+                f'defaulting to `rv`.'
+            )
+            quantities = ['rv']
+
+    if 'rv' in quantities:
+        # rv is shorthand for both unpacked quantities
+        quantities = [q for q in quantities if q != 'rv'] + ['pos', 'vel']
+
+    return sets, quantities
 
 
 def _build_loaders(convert_units, header, passthrough=False):
@@ -433,72 +625,74 @@ class CompaSOHaloCatalog:
     `filter_func`, `halo_lc`, `passthrough`.
     """
 
+    data_key = 'data'  # tree key holding the column dict in every asdf file
+
+    # fmt: off — same positional parameter contract as the reference ctor
     def __init__(
-        self,
-        path,
-        cleaned=True,
-        subsamples=False,
-        convert_units=True,
-        unpack_bits=False,
-        fields='DEFAULT_FIELDS',
-        verbose=False,
-        cleandir=None,
-        filter_func=None,
-        halo_lc=None,
-        passthrough=False,
+        self, path,
+        cleaned=True, subsamples=False, convert_units=True, unpack_bits=False,
+        fields='DEFAULT_FIELDS', verbose=False, cleandir=None,
+        filter_func=None, halo_lc=None, passthrough=False,
         **kwargs,
     ):
-        load_subsamples = subsamples
-        del subsamples
+        # fmt: on
+        if kwargs:
+            raise ValueError(
+                f'Unknown arguments to CompaSOHaloCatalog constructor: {list(kwargs)}'
+            )
 
+        # `subsamples` the kwarg is a request spec; self.subsamples will be
+        # the loaded particle table, so re-name the former immediately
+        subsample_request = subsamples
+        del subsamples
         self.cleaned = cleaned
 
         if halo_lc is None:
-            halo_lc = self._is_path_halo_lc(
-                path[0] if not isinstance(path, (PurePath, str)) else path
-            )
-            if verbose and halo_lc:
+            probe = path if isinstance(path, (PurePath, str)) else path[0]
+            halo_lc = self._is_path_halo_lc(probe)
+            if halo_lc and verbose:
                 print('Detected halo light cone catalog.')
         self.halo_lc = halo_lc
 
         if halo_lc:
             if not self.cleaned:
                 warnings.warn(
-                    '`cleaned=False` was specified but halo light cones always '
-                    'incorporate cleaning'
+                    'halo light cones always incorporate cleaning; '
+                    'ignoring `cleaned=False`'
                 )
+            # no separate cleaning files exist for light cones, but the
+            # catalog is inherently cleaned
             cleaned = False
             unpack_bits = False
             self.cleaned = True
 
-        if kwargs:
-            raise ValueError(
-                f'Unknown arguments to CompaSOHaloCatalog constructor: {list(kwargs)}'
-            )
+        self.groupdir, self.halo_fns = _resolve_halo_info_files(path, halo_lc)
+        if halo_lc:
+            self.superslab_inds = np.array([0])
+        else:
+            self.superslab_inds = np.array([_slab_id(fn) for fn in self.halo_fns])
 
-        (
-            self.groupdir,
-            self.clean_halo_info_dir,
-            self.clean_rvpid_dir,
-            self.superslab_inds,
-            self.halo_fns,
-            self.cleaned_halo_fns,
-        ) = self._setup_file_paths(path, cleaned=cleaned, cleandir=cleandir, halo_lc=halo_lc)
+        if cleaned:
+            (
+                self.clean_halo_info_dir,
+                self.clean_rvpid_dir,
+                self.cleaned_halo_fns,
+            ) = _locate_cleaning_files(self.groupdir, cleandir, self.superslab_inds)
+        else:
+            self.clean_halo_info_dir = None
+            self.clean_rvpid_dir = None
+            self.cleaned_halo_fns = []
 
-        self.load_AB, self.load_pidrv = self._setup_load_subsamples(
-            load_subsamples, passthrough=passthrough
+        self.load_AB, self.load_pidrv = _parse_subsample_request(
+            subsample_request, passthrough=passthrough
         )
-        del load_subsamples
-
         if halo_lc and self.load_AB:
-            self.load_AB = ['A']
-
-        self.data_key = 'data'
-        self.convert_units = convert_units
-        self.verbose = verbose
-        self.filter_func = filter_func
+            self.load_AB = ['A']  # light cones carry subsample A only
 
         unpack_bits = self._setup_unpack_bits(unpack_bits)
+        self.filter_func = filter_func
+        self.convert_units = convert_units
+        self.verbose = verbose
 
         with open_asdf(self.halo_fns[0], lazy_load=True) as af:
             self.header = dict(af['header'])
@@ -515,303 +709,134 @@ class CompaSOHaloCatalog:
 
         self._loaders = _build_loaders(convert_units, self.header, passthrough=passthrough)
 
-        N_halo_per_file = self._read_halo_info(
-            self.halo_fns,
-            fields,
-            cleaned=cleaned,
-            passthrough=passthrough,
+        halos_per_slab = self._read_halo_info(
+            self.halo_fns, fields,
+            cleaned=cleaned, passthrough=passthrough,
             cleaned_fns=self.cleaned_halo_fns,
         )
 
         self.subsamples = Table()
-
         if halo_lc:
             self._load_halo_lc_subsamples(which=self.load_pidrv, unpack_bits=unpack_bits)
         elif self.load_AB:
-            npstartAB_new = self._compute_new_subsample_indices(
-                cleaned=cleaned, load_AB=self.load_AB
-            )
+            zipper = self._plan_zipper_layout(cleaned=cleaned, load_AB=self.load_AB)
             self._load_subsamples(
-                N_halo_per_file,
-                npstartAB_new,
-                which=self.load_pidrv,
-                load_AB=self.load_AB,
-                cleaned=cleaned,
-                unpack_bits=unpack_bits,
+                halos_per_slab, zipper,
+                which=self.load_pidrv, load_AB=self.load_AB,
+                cleaned=cleaned, unpack_bits=unpack_bits,
             )
-            self._update_subsample_index_cols(
-                npstartAB_new, load_AB=self.load_AB, cleaned=cleaned
-            )
+            self._install_zipper_indices(zipper, load_AB=self.load_AB, cleaned=cleaned)
 
         if cleaned and not passthrough:
             self.halos.rename_column('N_total', 'N')
-
         if verbose:
-            print('\n' + str(self))
+            print()
+            print(self)
 
     # ------------------------------------------------------------------
     @staticmethod
     def _is_path_halo_lc(path):
-        path = Path(path)
-        return 'halo_light_cones' in str(path) or any(path.glob('lc_*.asdf'))
-
-    def _setup_file_paths(self, path, cleaned=True, cleandir=None, halo_lc=False):
-        """Resolve halo_info files + cleaning-file layout
-        (reference compaso_halo_catalog.py:310-417)."""
-        if isinstance(path, (PurePath, str)):
-            path = [Path(path)]
-        else:
-            path = [Path(p) for p in path]
-            for p in path:
-                if p.exists() and not p.is_file():
-                    raise ValueError(
-                        f'If passing a list of paths, all paths must be files, '
-                        f'not dirs. Path "{p}" is not a file.'
-                    )
-
-        for p in path:
-            if not p.exists():
-                raise FileNotFoundError(f'Path "{p}" does not exist!')
-
-        path = [p.absolute() for p in path]
-
-        for i, p in enumerate(path):
-            if p.name == 'halo_info':
-                path[i] = p.parent
-
-        if path[0].is_file():
-            groupdir = path[0].parents[1]
-            if halo_lc:
-                groupdir = path[0].parent
-            for p in path:
-                if not groupdir == p.parents[1] and not halo_lc:
-                    raise ValueError("Can't mix files from different catalogs!")
-            halo_fns = path
-            for i, p in enumerate(path):
-                for j, q in enumerate(path[i + 1 :]):
-                    if p == q:
-                        raise ValueError(
-                            f'Cannot pass duplicate halo_info files! Found '
-                            f'duplicate "{p}" at indices {i} and {i + j + 1}'
-                        )
-        else:
-            groupdir = path[0]
-            globpat = 'lc_halo_info*.asdf' if halo_lc else 'halo_info/halo_info_*.asdf'
-            halo_fns = sorted(groupdir.glob(globpat))
-            if len(halo_fns) == 0:
-                raise FileNotFoundError(
-                    f'No halo_info files found! Search pattern was: '
-                    f'"{groupdir / globpat}"'
-                )
-
-        if halo_lc:
-            superslab_inds = np.array([0])
-        else:
-            superslab_inds = np.array([int(Path(fn).stem.split('_')[-1]) for fn in halo_fns])
-
-        if cleaned:
-            if not cleandir:
-                for p in groupdir.parents:
-                    if (cleandir := (p / 'cleaning')).is_dir():
-                        break
-                else:
-                    raise FileNotFoundError(
-                        f'Could not find cleaning info dir, searching upwards '
-                        f'from {groupdir}. To load the uncleaned catalog, use '
-                        f'`cleaned=False`.'
-                    )
-            cleandir = Path(cleandir)
-            relpath = (groupdir.parents[1] / groupdir.name).relative_to(cleandir.parent)
-            if (cleandir / relpath / 'cleaned_halo_info').is_dir():
-                clean_halo_info_dir = cleandir / relpath / 'cleaned_halo_info'
-                clean_rvpid_dir = cleandir / relpath / 'cleaned_rvpid'
-            else:
-                clean_halo_info_dir = cleandir / relpath
-                clean_rvpid_dir = cleandir / relpath
-
-            cleaned_halo_fns = [
-                clean_halo_info_dir / f'cleaned_halo_info_{i:03d}.asdf'
-                for i in superslab_inds
-            ]
-            for fn in cleaned_halo_fns:
-                if not fn.is_file():
-                    raise FileNotFoundError(
-                        f'Cleaning info not found. File path was: "{fn}". To load '
-                        f'the uncleaned catalog, use `cleaned=False`.'
-                    )
-        else:
-            clean_halo_info_dir = None
-            clean_rvpid_dir = None
-            cleaned_halo_fns = []
-
-        return (
-            groupdir,
-            clean_halo_info_dir,
-            clean_rvpid_dir,
-            superslab_inds,
-            halo_fns,
-            cleaned_halo_fns,
-        )
+        """Heuristic light-cone detection: the catalog lives under a
+        halo_light_cones tree, or the directory holds lc_*.asdf files."""
+        p = Path(path)
+        if 'halo_light_cones' in str(p):
+            return True
+        return next(iter(p.glob('lc_*.asdf')), None) is not None
 
     def _setup_unpack_bits(self, unpack_bits):
-        if isinstance(unpack_bits, str):
-            unpack_bits = [unpack_bits]
-        if unpack_bits not in (True, False):
-            try:
-                for _f in unpack_bits:
-                    assert _f in bitpacked.PID_FIELDS
-            except Exception:
-                raise ValueError(
-                    f'`unpack_bits` must be True, False, or one of: '
-                    f'"{bitpacked.PID_FIELDS}"'
-                )
-        return unpack_bits
-
-    def _setup_load_subsamples(self, load_subsamples, passthrough=False):
-        """Parse the `subsamples` argument into (load_AB, load_pidrv)
-        (reference compaso_halo_catalog.py:433-512)."""
-        if load_subsamples is False:
-            return [], []
-
-        if load_subsamples is True:
-            if passthrough:
-                load_subsamples = dict(A=True, B=True, rvint=True, packedpid=True)
-            else:
-                load_subsamples = dict(A=True, B=True, rv=True, pid=True)
-
-        load_AB = []
-        load_pidrv = []
-        if isinstance(load_subsamples, dict):
-            load_subsamples = dict(load_subsamples)
-            load_AB = [k for k in 'AB' if load_subsamples.get(k)]
-
-            if 'rv' in load_subsamples:
-                if 'pos' in load_subsamples or 'vel' in load_subsamples:
-                    raise ValueError(
-                        'Cannot pass `rv` and `pos` or `vel` in `load_subsamples`.'
-                    )
-
-            load_pidrv = [
-                k
-                for k in load_subsamples
-                if k in ('pid', 'pos', 'vel', 'rv', 'rvint', 'packedpid')
-                and load_subsamples.get(k)
-            ]
-
-            if load_pidrv and not load_AB:
-                warnings.warn(
-                    f'Loading of {load_pidrv} was requested but neither subsample '
-                    f'A nor B was specified. Assuming subsample A.'
-                )
-                load_AB = ['A']
-            elif not load_pidrv and load_AB:
-                if load_subsamples.get('pos') is not False:
-                    load_pidrv += ['pos']
-                if load_subsamples.get('vel') is not False:
-                    load_pidrv += ['vel']
-                if not load_pidrv:
-                    warnings.warn(
-                        f'Loading of subsample {load_AB} was requested but none '
-                        f'of `pos`, `vel`, `rv`, `pid` was specified. Assuming `rv`.'
-                    )
-                    load_pidrv = ['rv']
-
-            if load_subsamples.pop('field', False):
-                raise ValueError(
-                    'Loading field particles through CompaSOHaloCatalog is not '
-                    'supported. Use abacusutils_tpu.io.read_abacus.read_asdf().'
-                )
-
-            for k in ('A', 'B', 'rv', 'pid', 'pos', 'vel', 'unpack', 'rvint', 'packedpid'):
-                load_subsamples.pop(k, None)
-            if load_subsamples:
-                raise ValueError(
-                    f'Unrecognized keys in `load_subsamples`: {list(load_subsamples)}'
-                )
-
-        if 'rv' in load_pidrv:
-            load_pidrv.remove('rv')
-            load_pidrv += ['pos', 'vel']
-
-        return load_AB, load_pidrv
+        """Validate unpack_bits: a bool, a PID field name, or a list of
+        PID field names."""
+        if unpack_bits is True or unpack_bits is False:
+            return unpack_bits
+        try:
+            requested = (
+                [unpack_bits] if isinstance(unpack_bits, str) else list(unpack_bits)
+            )
+            bad = [f for f in requested if f not in bitpacked.PID_FIELDS]
+        except TypeError:
+            bad = [unpack_bits]
+        if bad:
+            raise ValueError(
+                f'`unpack_bits` must be True, False, or drawn from '
+                f'{bitpacked.PID_FIELDS}; got {bad}'
+            )
+        return requested
 
     # ------------------------------------------------------------------
-    def _setup_fields(
+    def _select_fields(
         self,
         fields,
-        cleaned=True,
-        load_AB=None,
-        halo_lc=False,
-        passthrough=False,
-        halo_info_af=None,
-        cleaned_halo_info_af=None,
+        *,
+        cleaned,
+        load_AB,
+        halo_lc,
+        passthrough,
+        halo_info_af,
+        cleaned_halo_info_af,
     ):
-        """Determine the halo fields to load
-        (reference compaso_halo_catalog.py:514-599)."""
+        """Expand the user's `fields` request into the concrete halo-info
+        and cleaning-file column lists (capability match for reference
+        compaso_halo_catalog.py:514-599)."""
+        load_AB = load_AB or []
+
         if passthrough:
-            raw_fields = list(halo_info_af[self.data_key])
-            raw_cleaned_fields = (
-                list(cleaned_halo_info_af[self.data_key]) if cleaned_halo_info_af else []
+            # passthrough serves raw on-disk columns verbatim; restrict to
+            # the user's selection unless they asked for everything
+            on_disk = list(halo_info_af[self.data_key])
+            on_disk_clean = (
+                list(cleaned_halo_info_af[self.data_key])
+                if cleaned_halo_info_af
+                else []
             )
             if fields == 'all':
-                return raw_fields, raw_cleaned_fields
-            if isinstance(fields, str):
-                fields = [fields]
+                return on_disk, on_disk_clean
+            wanted = {fields} if isinstance(fields, str) else set(fields)
             return (
-                [r for r in raw_fields if r in fields],
-                [r for r in raw_cleaned_fields if r in fields],
+                [c for c in on_disk if c in wanted],
+                [c for c in on_disk_clean if c in wanted],
             )
 
-        if fields == 'DEFAULT_FIELDS':
-            fields = list(user_dt.names)
+        preset_clean_dt = {'DEFAULT_FIELDS': clean_dt, 'all': clean_dt_progen}
+        if isinstance(fields, str) and fields in preset_clean_dt:
+            wanted = list(user_dt.names)
             if cleaned:
-                fields += list(clean_dt.names)
+                wanted += list(preset_clean_dt[fields].names)
             if halo_lc:
-                fields += list(halo_lc_dt.names)
-        if fields == 'all':
-            fields = list(user_dt.names)
-            if cleaned:
-                fields += list(clean_dt_progen.names)
-            if halo_lc:
-                fields += list(halo_lc_dt.names)
+                wanted += list(halo_lc_dt.names)
+        elif isinstance(fields, str):
+            wanted = [fields]
+        else:
+            wanted = list(fields)
 
-        if isinstance(fields, str):
-            fields = [fields]
-        fields = list(fields)
-
+        from_clean = []
         if cleaned:
-            if 'N' in fields:
-                fields.remove('N')
-            if 'N_total' not in fields:
-                fields += ['N_total']
-
-        cleaned_fields = []
-        if cleaned:
-            for item in list(clean_dt_progen.names):
-                if item in fields:
-                    fields.remove(item)
-                    cleaned_fields += [item]
+            # the cleaned catalog's halo size is N_total; plain N is retired
+            wanted = [f for f in wanted if f != 'N']
+            if 'N_total' not in wanted:
+                wanted.append('N_total')
+            # split out the columns sourced from the cleaning files,
+            # ordered as the cleaning data model lists them
+            requested = set(wanted)
+            from_clean = [n for n in clean_dt_progen.names if n in requested]
+            clean_names = set(from_clean)
+            wanted = [f for f in wanted if f not in clean_names]
 
         if halo_lc:
-            for item in list(fields):
-                if 'L2' not in item and item not in halo_lc_dt.names:
-                    fields.remove(item)
-
-        if load_AB is None:
-            load_AB = []
+            # light cones carry only L2 halo stats plus their own columns
+            lc_names = set(halo_lc_dt.names)
+            wanted = [f for f in wanted if 'L2' in f or f in lc_names]
 
         if cleaned:
-            for AB in load_AB:
-                if 'npstart' + AB not in fields:
-                    fields += ['npstart' + AB]
-                if 'npout' + AB not in fields:
-                    fields += ['npout' + AB]
-                if 'npstart' + AB + '_merge' not in cleaned_fields:
-                    cleaned_fields += ['npstart' + AB + '_merge']
-                if 'npout' + AB + '_merge' not in cleaned_fields:
-                    cleaned_fields += ['npout' + AB + '_merge']
+            # the zipper needs both the raw and the merge index columns
+            for ab in load_AB:
+                for col in (f'npstart{ab}', f'npout{ab}'):
+                    if col not in wanted:
+                        wanted.append(col)
+                for col in (f'npstart{ab}_merge', f'npout{ab}_merge'):
+                    if col not in from_clean:
+                        from_clean.append(col)
 
-        return fields, cleaned_fields
+        return wanted, from_clean
 
     def _match_loader(self, field):
         match = None
@@ -826,27 +851,46 @@ class CompaSOHaloCatalog:
             raise KeyError(f'Don\'t know how to load halo field "{field}"')
         return match, loader
 
-    def _get_halo_fields_dependencies(self, fields):
-        """Dependency capture: run each loader against recording proxies
-        (reference compaso_halo_catalog.py:939-994)."""
-        iter_fields = list(fields)
-        raw_dependencies = []
-        field_dependencies = []
-        for field in iter_fields:
-            match, loader = self._match_loader(field)
-            capturer, raw_capturer = _DepCapture(), _DepCapture()
-            loader(match, raw_capturer, capturer)
-            raw_dependencies += raw_capturer.keys
-            for k in capturer.keys:
-                iter_fields += [k]
-                if k not in fields:
-                    field_dependencies += [k]
+    def _plan_field_loads(self, fields):
+        """Topologically order the requested fields by their loader
+        dependencies (discovered via :class:`_ColumnProbe`).
 
-        raw_dependencies = list(set(raw_dependencies))
-        # preserve order but use last occurrence (nested deps load first)
-        fields_with_deps = list(dict.fromkeys(iter_fields[::-1]))
-        field_deps = list(dict.fromkeys(field_dependencies[::-1]))
-        return raw_dependencies, fields_with_deps, field_deps
+        Returns (raw_columns, load_order, extra_fields): the unique raw
+        on-disk columns to read, the derived fields in an order where every
+        field's halo-column dependencies precede it, and the derived fields
+        that were pulled in as dependencies without being requested.
+
+        Capability match for the reference's dependency capture
+        (compaso_halo_catalog.py:939-994); the ordering here is a DFS
+        postorder rather than the reference's worklist scheme — any
+        topological order is equivalent for loading.
+        """
+        raw_columns = set()
+        order = []
+        placed = set()
+        in_progress = set()
+
+        def visit(field):
+            if field in placed:
+                return
+            if field in in_progress:
+                raise KeyError(f'Circular dependency while loading "{field}"')
+            in_progress.add(field)
+            match, loader = self._match_loader(field)
+            raw_touched, halo_touched = _probe_loader(loader, match)
+            raw_columns.update(raw_touched)
+            for dep in halo_touched:
+                visit(dep)
+            in_progress.discard(field)
+            placed.add(field)
+            order.append(field)
+
+        requested = set(fields)
+        for field in fields:
+            visit(field)
+
+        extra = [f for f in order if f not in requested]
+        return list(raw_columns), order, extra
 
     def _load_halo_field(self, halos, rawhalos, field):
         match, loader = self._match_loader(field)
@@ -872,55 +916,53 @@ class CompaSOHaloCatalog:
         else:
             assert len(cleaned_fns) == len(halo_fns)
 
+        def n_rows(af):
+            data = af[self.data_key]
+            return len(data[next(iter(data))])
+
         afs = [open_asdf(fn, lazy_load=True) for fn in halo_fns]
         cleaned_afs = [open_asdf(fn, lazy_load=True) for fn in cleaned_fns]
 
-        fields, cleaned_fields = self._setup_fields(
+        self.fields, self.cleaned_fields = self._select_fields(
             fields,
-            cleaned=cleaned,
-            load_AB=self.load_AB,
-            halo_lc=self.halo_lc,
-            passthrough=passthrough,
+            cleaned=cleaned, passthrough=passthrough,
+            load_AB=self.load_AB, halo_lc=self.halo_lc,
             halo_info_af=afs[0],
             cleaned_halo_info_af=cleaned_afs[0] if cleaned else None,
         )
-        self.fields = fields
-        self.cleaned_fields = cleaned_fields
+        fields, cleaned_fields = self.fields, self.cleaned_fields
 
-        N_halo_per_file = np.array(
-            [len(af[self.data_key][next(iter(af[self.data_key]))]) for af in afs]
-        )
-        for _N, caf in zip(N_halo_per_file, cleaned_afs):
-            assert len(caf[self.data_key][next(iter(caf[self.data_key]))]) == _N
+        N_halo_per_file = np.array([n_rows(af) for af in afs])
+        if cleaned_afs:
+            assert [n_rows(caf) for caf in cleaned_afs] == list(N_halo_per_file)
         N_halos = int(N_halo_per_file.sum())
 
         cols = {}
-        if not passthrough:
+        if passthrough:
+            # column shapes/dtypes come straight off the first file of each kind
+            for name, af, src_fields in (
+                ('halo_info', afs[0], fields),
+                ('cleaned', cleaned_afs[0] if cleaned_afs else None, cleaned_fields),
+            ):
+                if af is None:
+                    continue
+                disk = af[self.data_key]
+                for field in src_fields:
+                    proto = disk[field]
+                    cols[field] = np.empty(
+                        (N_halos,) + tuple(proto.shape[1:]), dtype=proto.dtype
+                    )
+        else:
             for col in fields:
                 dt_src = halo_lc_dt if col in halo_lc_dt.names else user_dt
                 cols[col] = np.empty(N_halos, dtype=dt_src[col])
             for col in cleaned_fields:
                 cols[col] = np.empty(N_halos, dtype=clean_dt_progen[col])
-        else:
-            raw_cols = afs[0][self.data_key]
-            for field in fields:
-                col = raw_cols[field]
-                cols[field] = np.empty((N_halos,) + tuple(col.shape[1:]), dtype=col.dtype)
-            if cleaned_afs:
-                raw_cols = cleaned_afs[0][self.data_key]
-                for field in cleaned_fields:
-                    col = raw_cols[field]
-                    cols[field] = np.empty(
-                        (N_halos,) + tuple(col.shape[1:]), dtype=col.dtype
-                    )
 
         all_fields = list(cols)
-        raw_dependencies, fields_with_deps, extra_fields = (
-            self._get_halo_fields_dependencies(all_fields)
-        )
+        raw_cols_needed, load_order, extra_fields = self._plan_field_loads(all_fields)
         if passthrough:
-            assert set(raw_dependencies) == set(fields_with_deps)
-            assert len(extra_fields) == 0
+            assert set(raw_cols_needed) == set(load_order) and not extra_fields
 
         self.halos = Table(cols, copy=False)
         self.halos.meta.update(self.header)
@@ -940,11 +982,11 @@ class CompaSOHaloCatalog:
         for i, af in enumerate(afs):
             caf = cleaned_afs[i] if cleaned_afs else None
 
-            rawhalos = {}
-            for field in raw_dependencies:
-                src = caf if field in clean_dt_progen.names else af
-                rawhalos[field] = np.asarray(src[self.data_key][field])
-            rawhalos = Table(rawhalos, copy=False)
+            raw = {}
+            for field in raw_cols_needed:
+                holder = caf if field in clean_dt_progen.names else af
+                raw[field] = np.asarray(holder[self.data_key][field])
+            rawhalos = Table(raw, copy=False)
             af.close()
             if caf:
                 caf.close()
@@ -953,16 +995,15 @@ class CompaSOHaloCatalog:
             # view into the destination region; loaders write in place
             halos = self.halos[N_written : N_written + n_this]
             for field in extra_fields:
-                src = clean_dt_progen if field in clean_dt_progen.names else user_dt
-                halos.add_column(
-                    np.empty(n_this, dtype=src[field]), name=field, copy=False
-                )
+                dt = (clean_dt_progen if field in clean_dt_progen.names else user_dt)[
+                    field
+                ]
+                halos.add_column(np.empty(n_this, dtype=dt), name=field, copy=False)
 
-            loaded_fields = []
-            for field in fields_with_deps:
-                if field in loaded_fields:
-                    continue
-                loaded_fields += self._load_halo_field(halos, rawhalos, field)
+            loaded = set()
+            for field in load_order:
+                if field not in loaded:
+                    loaded.update(self._load_halo_field(halos, rawhalos, field))
 
             if self.filter_func:
                 if self.cleaned and not passthrough:
@@ -988,61 +1029,67 @@ class CompaSOHaloCatalog:
         return N_halo_per_file
 
     # ------------------------------------------------------------------
-    def _compute_new_subsample_indices(self, cleaned=True, load_AB=None):
-        """New write offsets interleaving original+merged particles per halo
-        (reference compaso_halo_catalog.py:1039-1072)."""
-        offset = np.uint64(0)
+    def _plan_zipper_layout(self, cleaned=True, load_AB=None):
+        """Output edges for the per-halo interleave of original + merged
+        particles: one contiguous span per surviving halo, all of A before
+        all of B. Returns {AB: uint64 edges, len(halos)+1} — edges[i] is
+        where halo i's zippered particles start, edges[-1] the grand total.
+
+        Capability match for the reference's new-index computation
+        (compaso_halo_catalog.py:1039-1072), done with a plain numpy cumsum.
+        """
+        n = len(self.halos)
         if cleaned:
-            cleaned_mask = self.halos['N_total'] == 0
+            absorbed = np.flatnonzero(self.halos['N_total'] == 0)
 
-        npstartAB_new = {}
+        edges_by_set = {}
+        base = 0
         for AB in load_AB:
-            npoutAB = self.halos[f'npout{AB}']
+            counts = self.halos[f'npout{AB}']
             if cleaned:
-                # merged-away halos keep their particles in the absorbing halo
-                self.halos[f'npout{AB}'][cleaned_mask] = 0
-                npoutAB = npoutAB + self.halos[f'npout{AB}_merge']
-
-            npstartAB_new[AB] = np.empty(len(self.halos) + 1, dtype=np.uint64)
-            offset = cumsum(
-                npoutAB, npstartAB_new[AB], initial=True, final=True, offset=offset
-            )
-        return npstartAB_new
+                # absorbed halos contribute nothing; their particles arrive
+                # as the absorbing halo's *_merge segment instead
+                counts[absorbed] = 0
+                widths = counts.astype(np.int64) + self.halos[f'npout{AB}_merge']
+            else:
+                widths = counts.astype(np.int64)
+            edges = np.empty(n + 1, dtype=np.uint64)
+            edges[0] = base
+            np.cumsum(widths, dtype=np.int64, out=edges[1:].view(np.int64))
+            edges[1:] += np.uint64(base)
+            base = int(edges[-1])
+            edges_by_set[AB] = edges
+        return edges_by_set
 
     def _load_subsamples(
-        self,
-        N_halo_per_file,
-        npstartAB_new,
-        which=('pos', 'vel', 'pid'),
-        load_AB=None,
-        cleaned=True,
-        unpack_bits=False,
+        self, N_halo_per_file, npstartAB_new,
+        which=('pos', 'vel', 'pid'), load_AB=None,
+        cleaned=True, unpack_bits=False,
     ):
         """Read rv/pid subsample files and zipper original+cleaned particles
         per halo into contiguous output (reference
         compaso_halo_catalog.py:1074-1346, vectorized)."""
-        N_subsamp = int(
-            npstartAB_new['B'][-1] if 'B' in load_AB else npstartAB_new['A'][-1]
+        last_set = load_AB[-1]  # edges run A then B; the last set ends at the total
+        N_subsamp = int(npstartAB_new[last_set][-1])
+
+        want_rv_files = any(w in which for w in ('pos', 'vel', 'rvint'))
+        want_pid_files = 'pid' in which or 'packedpid' in which
+        which_files = (['rv'] if want_rv_files else []) + (
+            ['pid'] if want_pid_files else []
         )
+
         for w in which:
             if w in ('pos', 'vel', 'rvint'):
                 dtype = np.int32 if w == 'rvint' else np.float32
                 self.subsamples.add_column(
                     np.empty((N_subsamp, 3), dtype=dtype), name=w, copy=False
                 )
-
-        if 'pid' in which or 'packedpid' in which:
+        if want_pid_files:
             if unpack_bits is False:
                 unpack_bits = 'packedpid' if 'packedpid' in which else 'pid'
             self.subsamples.update(
                 bitpacked.empty_bitpacked_arrays(N_subsamp, unpack_bits), copy=False
             )
-
-        which_files = []
-        if any(w in which for w in ('pos', 'vel', 'rvint')):
-            which_files += ['rv']
-        if 'pid' in which or 'packedpid' in which:
-            which_files += ['pid']
 
         halo_file_offsets = np.empty(len(N_halo_per_file) + 1, dtype=np.uint64)
         cumsum(N_halo_per_file, halo_file_offsets, initial=True, final=True)
@@ -1146,62 +1193,71 @@ class CompaSOHaloCatalog:
             for af in clean_afs:
                 af.close()
 
-    def _update_subsample_index_cols(self, npstartAB_new, load_AB='AB', cleaned=True):
-        """Swap in the new interleaved indices
-        (reference compaso_halo_catalog.py:1348-1371)."""
+    def _install_zipper_indices(self, edges_by_set, load_AB='AB', cleaned=True):
+        """Retire the on-disk npstart/npout (+_merge) columns — their values
+        describe the raw files we just finished reading — and publish the
+        zippered layout's edges in their place."""
         for AB in load_AB:
-            self.halos.remove_column(f'npstart{AB}')
-            self.halos.remove_column(f'npout{AB}')
+            stale = [f'npstart{AB}', f'npout{AB}']
             if cleaned:
-                self.halos.remove_column(f'npstart{AB}_merge')
-                self.halos.remove_column(f'npout{AB}_merge')
+                stale += [f'npstart{AB}_merge', f'npout{AB}_merge']
+            for name in stale:
+                self.halos.remove_column(name)
+
+            edges = edges_by_set[AB]
+            self.halos.add_column(edges[:-1], name=f'npstart{AB}', copy=False)
             self.halos.add_column(
-                npstartAB_new[AB][:-1], name=f'npstart{AB}', copy=False
-            )
-            self.halos.add_column(
-                np.diff(npstartAB_new[AB]).astype(np.uint32), name=f'npout{AB}', copy=False
+                np.diff(edges).astype(np.uint32), name=f'npout{AB}', copy=False
             )
 
     def _load_halo_lc_subsamples(self, which=('pos', 'vel', 'pid'), unpack_bits=False):
         """Light-cone subsamples: single file, subsample A only
         (reference compaso_halo_catalog.py:1373-1392)."""
-        fn = Path(self.groupdir) / 'lc_pid_rv.asdf'
-        with open_asdf(fn, lazy_load=True) as af:
-            for w in which:
+        with open_asdf(Path(self.groupdir) / 'lc_pid_rv.asdf', lazy_load=True) as af:
+            data = af[self.data_key]
+            for name in which:
                 self.subsamples.add_column(
-                    np.asarray(af[self.data_key][w]), name=w, copy=False
+                    np.asarray(data[name]), name=name, copy=False
                 )
-        if 'pid' in which and unpack_bits:
-            self.subsamples.update(
-                bitpacked.unpack_pids(
-                    self.subsamples['pid'],
-                    box=self.header['BoxSize'],
-                    ppd=self.header['ppd'],
-                    **{f: True for f in unpack_bits},
-                ),
-                copy=False,
+        if unpack_bits and 'pid' in which:
+            decoded = bitpacked.unpack_pids(
+                self.subsamples['pid'],
+                box=self.header['BoxSize'],
+                ppd=self.header['ppd'],
+                **dict.fromkeys(unpack_bits, True),
             )
+            self.subsamples.update(decoded, copy=False)
 
     # ------------------------------------------------------------------
     def nbytes(self, halos=True, subsamples=True):
-        nbytes = 0
-        which = ([self.halos] if halos else []) + ([self.subsamples] if subsamples else [])
-        for cat in which:
-            for col in cat.columns:
-                nbytes += cat[col].nbytes
-        return nbytes
+        """Total bytes held by the halo and/or subsample columns."""
+        tables = {'halos': self.halos, 'subsamples': self.subsamples}
+        if not halos:
+            del tables['halos']
+        if not subsamples:
+            del tables['subsamples']
+        return sum(
+            t[col].nbytes for t in tables.values() for col in t.columns
+        )
 
     def __repr__(self):
-        lines = [
-            'CompaSO Halo Catalog',
-            '====================',
-            f'{self.header["SimName"]} @ z={self.header["Redshift"]:.5g}',
-        ]
-        lines += [
-            '-' * len(lines[-1]),
-            f'     Halos: {len(self.halos):8.3g} halos, {len(self.halos.columns):3d} fields',
-            f'Subsamples: {len(self.subsamples):8.3g} particles, {len(self.subsamples.columns):3d} fields',
-            f'Cleaned halos: {self.cleaned}',
-            f'Halo light cone: {self.halo_lc}',
-        ]
-        return '\n'.join(lines)
+        def row(label, table, noun):
+            gb = sum(table[c].nbytes for c in table.columns) / 1e9
+            return (
+                f'{label}: {len(table):8.3g} {noun}, '
+                f'{len(table.columns):3d} fields, {gb:7.3g} GB'
+            )
+
+        title = f'{self.header["SimName"]} @ z={self.header["Redshift"]:.5g}'
+        return '\n'.join(
+            [
+                'CompaSO Halo Catalog',
+                '====================',
+                title,
+                '-' * len(title),
+                row('     Halos', self.halos, 'halos'),
+                row('Subsamples', self.subsamples, 'particles'),
+                f'Cleaned halos: {self.cleaned}',
+                f'Halo light cone: {self.halo_lc}',
+            ]
+        )
