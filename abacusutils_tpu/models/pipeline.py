@@ -32,6 +32,7 @@ __all__ = [
     'make_example_inputs',
     'group_inputs',
     'group_inputs2d',
+    'group_inputs2d_device',
     'make_bin_plan_arrays',
 ]
 
@@ -156,6 +157,47 @@ def group_inputs2d(cat, nmesh, lbox, yb=16, chunk=512):
     return out, plan
 
 
+class _DeviceStagePlan:
+    """Duck-typed stand-in for PaintPlan2D when grouping happens on device
+    (no pad_idx is ever materialized)."""
+
+    def __init__(self, nmesh, yb, box, offset, K):
+        self.pad_idx = None
+        self.nmesh = nmesh
+        self.yb = yb
+        self.box = box
+        self.offset = offset
+        self.K = K
+
+
+def group_inputs2d_device(cat, nmesh, lbox, yb=16, chunk=512):
+    """Device-side counterpart of :func:`group_inputs2d`: same (x-cell,
+    y-block) padded layout and the same pad semantics (randoms=2, zeros
+    elsewhere), built with one on-device multi-operand sort + a per-cell
+    slice scan (ops.grid.stage_grouped2d) instead of a host argsort and a
+    serial numpy gather. Accepts host or device columns; uploads each flat
+    (N,) column once. Returns (grouped dict of flat device arrays, plan).
+    """
+    keys = list(cat)
+    half = lbox / 2  # grouping uses box-frame coords like group_inputs2d
+    cols = [jnp.asarray(cat[k], jnp.float32) for k in keys]
+    x = cols[keys.index('x')] + jnp.float32(half)
+    y = cols[keys.index('y')] + jnp.float32(half)
+    fills = [2.0 if k == 'randoms' else 0.0 for k in keys]
+    staged, K = stage_grouped2d_import(
+        cols, x, y, nmesh, lbox, yb, fills, offset=0.0, chunk=chunk
+    )
+    return dict(zip(keys, staged)), _DeviceStagePlan(
+        int(nmesh), int(yb), float(lbox), 0.0, K
+    )
+
+
+def stage_grouped2d_import(*args, **kwargs):
+    from ..ops.grid import stage_grouped2d
+
+    return stage_grouped2d(*args, **kwargs)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -205,7 +247,9 @@ def hod_pk_fused_pallas(
     p3d = jnp.abs(delta_k) ** 2
 
     (seg,) = binplan
-    wsum = _segsum_matmul(p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1)
+    wsum = _segsum_matmul(
+        p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1, even=(nmesh % 2 == 0)
+    )
     return wsum, n_gal
 
 
@@ -251,7 +295,9 @@ def hod_pk_fused_planned(
     p3d = jnp.abs(delta_k) ** 2
 
     (seg,) = binplan
-    wsum = _segsum_matmul(p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1)
+    wsum = _segsum_matmul(
+        p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1, even=(nmesh % 2 == 0)
+    )
     return wsum, n_gal
 
 
@@ -303,7 +349,9 @@ def hod_pk_fused_yb(
     p3d = jnp.abs(delta_k) ** 2
 
     (seg,) = binplan
-    wsum = _segsum_matmul(p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1)
+    wsum = _segsum_matmul(
+        p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1, even=(nmesh % 2 == 0)
+    )
     return wsum, n_gal
 
 
@@ -450,7 +498,8 @@ def hod_pk_fused_multi(
         for t2 in want[i:]:
             p3d = (deltas[t1] * jnp.conj(deltas[t2])).real
             spectra[(t1, t2)] = _segsum_matmul(
-                p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1
+                p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1,
+                even=(nmesh % 2 == 0),
             )
     return spectra, n_gal
 

@@ -292,6 +292,10 @@ def _segsum_matmul(wflat, seg, nbins, kzlen, chunk=1 << 20, pole_w=(),
     e.g. Legendre pole weights) ride the same one-hot as extra LHS rows;
     the return is then (nbins,) if pole_w is empty else (1+len, nbins)."""
     m = wflat.shape[0]
+    # clamp the scan block to the actual mode count (lane-aligned): small
+    # inputs — e.g. one slab shard of a sharded mesh — would otherwise pad
+    # to a full block and pay its one-hot temp (chunk x nbins) regardless
+    chunk = min(chunk, -(-m // 2048) * 2048)
     mpad = -(-m // chunk) * chunk
     wflat = jnp.pad(wflat, (0, mpad - m))
     seg = jnp.pad(seg, (0, mpad - m), constant_values=nbins)

@@ -201,6 +201,7 @@ class _SlabBins:
             out = _segsum_matmul(
                 p3d.reshape(-1), seg_l[0], nbins, self.nmesh // 2 + 1,
                 pole_w=tuple(pw[0] for pw in pw_l),
+                even=(self.nmesh % 2 == 0),
             )
             wsum = out[0] if pw_l else out
             psums = out[1:] if pw_l else jnp.zeros(
@@ -215,6 +216,32 @@ class _SlabBins:
                  for p in pole_w_l]
             ) if pole_w_l else jnp.zeros((0, self.nbins_k), jnp.float32)
         return jax.lax.psum(wsum, axis), jax.lax.psum(psums, axis)
+
+
+def _build_slab_pk_step(mesh, axis, nmesh, lbox, n_part, bins, arrs):
+    """Jitted sharded paint->FFT->bin step (exposed so tests can AOT-compile
+    it and assert the per-device memory footprint via memory_analysis)."""
+    ndev = mesh.shape[axis]
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=({k: P(axis) for k in arrs},) + bins.in_specs(axis),
+        out_specs=(P(), P()),
+        check_vma=False,  # scan carry init in _segsum_matmul is unvarying
+    )
+    def step(a, *bin_l):
+        core = paint_slab(
+            a['x'], a['y'], a['z'], a['weights'], nmesh, lbox, axis, ndev
+        )
+        # reference quirk kept: normalize by particle COUNT, not total weight
+        # (get_field power_spectrum.py:808-857 uses len(pos))
+        delta = core * (jnp.float32(nmesh) ** 3 / jnp.float32(n_part)) - 1.0
+        delta_k = slab_rfftn(delta, axis) * jnp.float32(1.0 / float(nmesh) ** 3)
+        return bins.bin_local(jnp.abs(delta_k) ** 2, bin_l, axis)
+
+    return step
 
 
 def calc_power_sharded_slab(
@@ -252,24 +279,7 @@ def calc_power_sharded_slab(
         w = np.ones(n_part, np.float32)
     arrs = shard_slabs(mesh, pos, w, nmesh, lbox, axis=axis)
 
-    @jax.jit
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=({k: P(axis) for k in arrs},) + bins.in_specs(axis),
-        out_specs=(P(), P()),
-        check_vma=False,  # scan carry init in _segsum_matmul is unvarying
-    )
-    def step(a, *bin_l):
-        core = paint_slab(
-            a['x'], a['y'], a['z'], a['weights'], nmesh, lbox, axis, ndev
-        )
-        # reference quirk kept: normalize by particle COUNT, not total weight
-        # (get_field power_spectrum.py:808-857 uses len(pos))
-        delta = core * (jnp.float32(nmesh) ** 3 / jnp.float32(n_part)) - 1.0
-        delta_k = slab_rfftn(delta, axis) * jnp.float32(1.0 / float(nmesh) ** 3)
-        return bins.bin_local(jnp.abs(delta_k) ** 2, bin_l, axis)
-
+    step = _build_slab_pk_step(mesh, axis, nmesh, lbox, n_part, bins, arrs)
     wsum, psums = step(arrs, *bins.binargs)
 
     from .mesh import _assemble_power_output

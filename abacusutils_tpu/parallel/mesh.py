@@ -100,7 +100,8 @@ def sharded_hod_pk(
         p3d = jnp.abs(delta_k) ** 2
 
         wsum = _segsum_matmul(
-            p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1
+            p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1,
+            even=(nmesh % 2 == 0),
         )
         return wsum, n_gal
 
@@ -238,7 +239,8 @@ def calc_power_sharded(
         if use_mm:
             seg, pw = bin_l
             out = _segsum_matmul(
-                p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1, pole_w=pw
+                p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1, pole_w=pw,
+                even=(nmesh % 2 == 0),
             )
             wsum = out[0] if pw else out
             psums = out[1:] if pw else jnp.zeros((0, nbins_k), jnp.float32)

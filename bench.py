@@ -38,7 +38,7 @@ def main():
     enable_compile_cache()
 
     from abacusutils_tpu.models.pipeline import (
-        group_inputs2d,
+        group_inputs2d_device,
         hod_pk_fused_yb,
         make_bin_plan_arrays,
         make_example_inputs,
@@ -53,21 +53,32 @@ def main():
     t0 = time.perf_counter()
     halo, part, params = make_example_inputs(N_HALO, N_PART, LBOX, seed=42)
     print('inputs', time.perf_counter()-t0, file=sys.stderr, flush=True)
-    # one-time staging: group by (x-cell, y-block) — both RSD-invariant —
-    # (like the reference's staging, outside the per-HOD-evaluation loop)
+
+    # upload the flat SoA columns once (tunnel-bandwidth bound). On this
+    # platform device_put/block_until_ready return before the transfer
+    # lands, so force completion with a one-element D2H per array — without
+    # this the hidden upload tail would be misattributed to the next timer.
     t0 = time.perf_counter()
-    halo, plan_h = group_inputs2d(halo, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK_H)
-    part, plan_p = group_inputs2d(part, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK)
+    halo = {k: jax.device_put(np.asarray(v, np.float32), dev) for k, v in halo.items()}
+    part = {k: jax.device_put(np.asarray(v, np.float32), dev) for k, v in part.items()}
+    for d in (halo, part):
+        for v in d.values():
+            jax.device_get(v[-1:])
+    t_upload = time.perf_counter() - t0
+    print('device_put', t_upload, file=sys.stderr, flush=True)
+
+    # one-time staging: group by (x-cell, y-block) — both RSD-invariant —
+    # ON DEVICE (multi-operand sort + per-cell slice scan; the reference's
+    # analog partition_parallel is host-thread-parallel)
+    t0 = time.perf_counter()
+    halo, plan_h = group_inputs2d_device(halo, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK_H)
+    part, plan_p = group_inputs2d_device(part, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK)
+    jax.block_until_ready(part)
     K_h, K_p = plan_h.K, plan_p.K
-    print('grouping', time.perf_counter()-t0, 'K_h', K_h, 'K_p', K_p, file=sys.stderr, flush=True)
+    t_group = time.perf_counter() - t0
+    print('grouping', t_group, 'K_h', K_h, 'K_p', K_p, file=sys.stderr, flush=True)
     binplan, counts = make_bin_plan_arrays(NMESH, LBOX, nbins_k)
     Wcomp = jnp.asarray(get_W_compensated(LBOX, NMESH, 'TSC', False).astype(np.float32))
-
-    t0 = time.perf_counter()
-    halo = {k: jax.device_put(v, dev) for k, v in halo.items()}
-    part = {k: jax.device_put(v, dev) for k, v in part.items()}
-    jax.block_until_ready(part)
-    print('device_put', time.perf_counter()-t0, file=sys.stderr, flush=True)
 
     def step():
         return hod_pk_fused_yb(
@@ -103,6 +114,8 @@ def main():
             'nmesh': NMESH,
             'lbox': LBOX,
             'step_seconds': round(dt, 4),
+            'staging_upload_seconds': round(t_upload, 1),
+            'staging_grouping_seconds': round(t_group, 2),
             'compile_seconds': round(compile_time, 1),
             'device': str(dev),
             'baseline_gal_per_s': BASELINE_GAL_PER_S,

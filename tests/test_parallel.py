@@ -91,6 +91,61 @@ def test_calc_power_sharded_slab_matches_single():
     )
 
 
+def test_slab_nmesh128_equality_and_memory():
+    """zcv-scale slab check (VERDICT r2 item 3b): at nmesh=128 the sharded
+    slab path must (a) match single-device calc_power bin-for-bin and
+    (b) actually shard the grid — the per-device compiled temp footprint on
+    the 8-device mesh must be a small fraction of the 1-device footprint."""
+    from abacusutils_tpu.ops.power import get_k_mu_edges
+    from abacusutils_tpu.parallel.fft import (
+        _build_slab_pk_step,
+        _SlabBins,
+        shard_slabs,
+    )
+
+    rng = np.random.default_rng(13)
+    n, nmesh, lbox = 200_003, 128, 500.0
+    pos = (rng.random((n, 3)) * lbox).astype(np.float32)
+
+    res_s = calc_power_sharded(
+        pos, lbox, mesh=make_mesh(), nmesh=nmesh, kbins=32, slab=True
+    )
+    res = calc_power(
+        pos, lbox, kbins=32, mubins=1, k_max=np.pi * nmesh / lbox, logk=False,
+        nmesh=nmesh, paste='TSC', compensated=False, interlaced=False,
+    )
+    npt.assert_allclose(
+        np.asarray(res_s['power']).ravel(), np.asarray(res['power']).ravel(),
+        rtol=3e-4,
+    )
+    npt.assert_array_equal(
+        np.asarray(res_s['N_mode']).ravel(), np.asarray(res['N_mode']).ravel()
+    )
+
+    # (b) per-device memory: AOT-compile the sharded step on the 8-device
+    # mesh and on a 1-device mesh; the grid/FFT temporaries must shrink by
+    # ~1/n_devices (allowing 2x slack for transpose buffers)
+    def temp_bytes(mesh):
+        ndev = mesh.shape['data']
+        kedges, muedges = get_k_mu_edges(
+            lbox, np.pi * nmesh / lbox, 32, 1, False
+        )
+        dk = 2 * np.pi / lbox
+        bins = _SlabBins(
+            nmesh, ((kedges / dk) ** 2).astype(np.float32),
+            (muedges**2).astype(np.float32), (), mesh, 'data',
+        )
+        arrs = shard_slabs(mesh, pos, np.ones(n, np.float32), nmesh, lbox)
+        step = _build_slab_pk_step(mesh, 'data', nmesh, lbox, n, bins, arrs)
+        compiled = step.lower(arrs, *bins.binargs).compile()
+        ma = compiled.memory_analysis()
+        return ma.temp_size_in_bytes
+
+    t8 = temp_bytes(make_mesh())
+    t1 = temp_bytes(make_mesh(devices=jax.devices()[:1]))
+    assert t8 <= t1 / 8 * 2.0, (t8, t1)
+
+
 def test_slab_fft_roundtrip_and_exactness():
     """slab_rfftn on an 8-device mesh equals jnp.fft.rfftn of the gathered
     grid; slab_irfftn inverts it."""
