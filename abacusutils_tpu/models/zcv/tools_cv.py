@@ -156,19 +156,23 @@ def combine_kaiser_spectra(k, spectra_dict, D, bias, f_growth, rec_algo, R, rsd=
     )
 
 
+# Kaiser P_ell / (b^2 D^2 P_lin) as polynomials in beta = f/b:
+# {ell: (c0, c1*beta, c2*beta^2)}
+_KAISER_POLE_COEFFS = {
+    0: (1.0, 2.0 / 3.0, 1.0 / 5.0),
+    2: (0.0, 4.0 / 3.0, 4.0 / 7.0),
+    4: (0.0, 0.0, 8.0 / 35.0),
+}
+
+
 def get_poles(k, pk, D, bias, f_growth, poles=(0, 2, 4)):
     """Linear Kaiser multipoles of a linear power spectrum."""
     beta = f_growth / bias
     p_ell = np.zeros((len(poles), len(k)))
-    for i, pole in enumerate(poles):
-        if pole == 0:
-            p_ell[i] = (1.0 + 2.0 / 3.0 * beta + 1.0 / 5 * beta**2) * pk
-        elif pole == 2:
-            p_ell[i] = (4.0 / 3.0 * beta + 4.0 / 7 * beta**2) * pk
-        elif pole == 4:
-            p_ell[i] = (8.0 / 35 * beta**2) * pk
-    p_ell *= bias**2 * D**2
-    return k, p_ell
+    for i, ell in enumerate(poles):
+        c0, c1, c2 = _KAISER_POLE_COEFFS[ell]
+        p_ell[i] = (c0 + c1 * beta + c2 * beta**2) * pk
+    return k, p_ell * (bias**2 * D**2)
 
 
 def multipole_cov(pell, ell):
@@ -312,129 +316,197 @@ def _beta_smooth_damp(beta, k_binc, k0, dk_cv, beta1_k, sg_window):
     return beta_smooth
 
 
+class _FlowSetup:
+    """One-stop unpack of everything the four reduction flows share: the
+    config sections, smoothing/damping knobs, box geometry, k/mu binning,
+    and the presaved-file directories. Flows read attributes off this
+    instead of each re-walking the config dict (the reference repeats that
+    walk per flow, tools_cv.py:534-1453)."""
+
+    def __init__(self, config, kind, field_level=False):
+        cv = config[f'{kind}_params']
+        pp = config['power_params']
+        self.config = config
+        self.kind = kind
+        self.sim_name = config['sim_params']['sim_name']
+        self.z_this = config['sim_params']['z_mock']
+        self.nmesh = cv['nmesh']
+        self.kcut = cv['kcut']
+        self.kmax_fit = cv.get('kmax_fit', 0.15 if kind == 'zcv' else 0.08)
+        self.want_rsd = config['HOD_params']['want_rsd']
+        self.rsd_str = '_rsd' if self.want_rsd else ''
+        if self.nmesh != pp['nmesh']:
+            raise ValueError('zcv/lcv nmesh must equal power_params nmesh')
+        self.smoothing = dict(
+            sg_window=cv.get('sg_window', 21),
+            k0=cv.get('k0_window', 0.618),
+            dk_cv=cv.get('dk_window', 0.167),
+            beta1_k=cv.get('beta1_k', 0.05),
+        )
+        self.save_dir = Path(cv[f'{kind}_dir']) / self.sim_name
+        self.save_z_dir = self.save_dir / f'z{self.z_this:.3f}'
+
+        if kind == 'zcv':
+            self.lbox = get_cfg(self.sim_name, self.z_this, self.nmesh)['lbox']
+        else:
+            self.meta = get_meta(self.sim_name, redshift=self.z_this)
+            self.lbox = self.meta['BoxSize']
+
+        self.poles = pp['poles']
+        if field_level:
+            # the 3D-field flows feed pk_to_xi downstream, which requires
+            # the full linear binning; override anything else
+            kmax_native = np.pi * self.nmesh / self.lbox
+            as_given = (
+                np.isclose(pp.get('k_hMpc_max', kmax_native), kmax_native)
+                and not pp.get('logk', False)
+                and pp.get('nbins_k', self.nmesh // 2) == self.nmesh // 2
+                and pp.get('nbins_mu', 1) == 1
+            )
+            if not as_given:
+                warnings.warn('Setting the parameters correctly for Xi computation')
+            self.k_hMpc_max, self.logk = kmax_native, False
+            self.n_k_bins, self.n_mu_bins = self.nmesh // 2, 1
+        else:
+            self.k_hMpc_max, self.logk = pp['k_hMpc_max'], pp['logk']
+            self.n_k_bins, self.n_mu_bins = pp['nbins_k'], pp['nbins_mu']
+
+        self.k_bins, self.mu_bins = get_k_mu_edges(
+            self.lbox, self.k_hMpc_max, self.n_k_bins, self.n_mu_bins, self.logk
+        )
+        self.k_binc = 0.5 * (self.k_bins[1:] + self.k_bins[:-1])
+        self.dk = (
+            self.k_bins[1] - self.k_bins[0]
+            if not self.logk
+            else np.log(self.k_bins[1] / self.k_bins[0])
+        )
+
+    def smooth_beta(self, beta):
+        return _beta_smooth_damp(beta, self.k_binc, **self.smoothing)
+
+    def presaved(self, stem, in_z_dir=True, native_suffix=True):
+        """Path of a presaved npz keyed by nmesh (+ dk when the binning is
+        not the native nmesh//2 linear one)."""
+        base = self.save_z_dir if in_z_dir else self.save_dir
+        tag = f'nmesh{self.nmesh:d}'
+        if native_suffix and self.n_k_bins != self.nmesh // 2:
+            tag += f'_dk{self.dk:.3f}'
+        return base / f'{stem}_{tag}.npz'
+
+    def load_window(self):
+        data = np.load(self.presaved('window', in_z_dir=False))
+        window, keff = data['window'], data['keff']
+        if len(keff) != len(self.k_binc) or (
+            abs(keff[-1] - self.k_binc[-1]) / self.k_binc[-1] >= 0.1
+        ):
+            raise ValueError(f'window file does not match the k binning: {keff}')
+        return window
+
+    def apply_window(self, template_poles):
+        """Mode-couple theory multipoles through the window matrix."""
+        window = self.load_window()
+        stacked = np.dot(window.T, np.hstack(template_poles))
+        return stacked.reshape(len(self.poles), -1)
+
+    def disconnected_covs(self, **spectra):
+        """Gaussian disconnected (co)variances per pole for each named
+        P_ell stack; real space falls back to the diagonal 2P^2."""
+        if self.want_rsd:
+            return {
+                name: np.stack([multipole_cov(pk, ell) for ell in self.poles])
+                for name, pk in spectra.items()
+            }
+        return {name: 2.0 * pk**2 for name, pk in spectra.items()}
+
+    def beta_rho(self, cov_xt, var_xx, var_tt):
+        """Damped+smoothed control-variate coefficient and the
+        cross-correlation coefficient rho (NaNs zeroed)."""
+        with np.errstate(divide='ignore', invalid='ignore'):
+            beta = cov_xt / var_xx
+            rho = np.atleast_2d(cov_xt / np.sqrt(var_xx * var_tt))
+        rho[rho != rho] = 0
+        return self.smooth_beta(beta), rho
+
+
+def _zcv_fields(config):
+    keynames = np.array(config['zcv_params']['fields'])
+    if not (ZCV_FIELDS[: len(keynames)] == keynames).all():
+        raise ValueError('Requested keynames should follow the standard order')
+    return keynames
+
+
+def _fit_zcv_bias(k_binc, pk_ij_zz, pk_tt, kmax, keynames):
+    """Least-squares quadratic-bias fit; returns the padded 6-vector
+    [1, b1, b2, bs, bn, sn] the monomial combiners consume."""
+    fit = measure_2pt_bias(k_binc, pk_ij_zz, pk_tt, kmax, keynames, rsd=False)
+    fitted = fit['x']
+    bias_vec = np.hstack([1.0, fitted[:-1], np.zeros(5 - len(fitted)), fitted[-1]])
+    print('bias', bias_vec)
+    return bias_vec
+
+
 def run_zcv(power_rsd_tr_dict, power_rsd_ij_dict, power_tr_dict, power_ij_dict, config):
     """Apply ZCV reduction to measured P_ell(k) (reference :534-724)."""
-    sim_name = config['sim_params']['sim_name']
-    z_this = config['sim_params']['z_mock']
-    zcv_dir = config['zcv_params']['zcv_dir']
-    nmesh = config['zcv_params']['nmesh']
-    kcut = config['zcv_params']['kcut']
-    keynames = np.array(config['zcv_params']['fields'])
-    kmax = config['zcv_params'].get('kmax_fit', 0.15)
-    want_rsd = config['HOD_params']['want_rsd']
-    rsd_str = '_rsd' if want_rsd else ''
-    assert (ZCV_FIELDS[: len(keynames)] == keynames).all(), (
-        'Requested keynames should follow the standard order'
-    )
-    assert nmesh == config['power_params']['nmesh']
+    s = _FlowSetup(config, 'zcv')
+    keynames = _zcv_fields(config)
 
-    sg_window = config['zcv_params'].get('sg_window', 21)
-    k0 = config['zcv_params'].get('k0_window', 0.618)
-    dk_cv = config['zcv_params'].get('dk_window', 0.167)
-    beta1_k = config['zcv_params'].get('beta1_k', 0.05)
-
-    pp = config['power_params']
-    k_hMpc_max, logk = pp['k_hMpc_max'], pp['logk']
-    n_k_bins, n_mu_bins, poles = pp['nbins_k'], pp['nbins_mu'], pp['poles']
-
-    save_dir = Path(zcv_dir) / sim_name
-    save_z_dir = save_dir / f'z{z_this:.3f}'
-
-    cfg = get_cfg(sim_name, z_this, nmesh)
-    Lbox = cfg['lbox']
-
-    k_bins, mu_bins = get_k_mu_edges(Lbox, k_hMpc_max, n_k_bins, n_mu_bins, logk)
-    k_binc = (k_bins[1:] + k_bins[:-1]) * 0.5
-
-    dk = k_bins[1] - k_bins[0] if not logk else np.log(k_bins[1] / k_bins[0])
-    if n_k_bins == nmesh // 2:
-        zenbu_fn = save_z_dir / f'zenbu_pk{rsd_str}_ij_lpt_nmesh{nmesh:d}.npz'
-        window_fn = save_dir / f'window_nmesh{nmesh:d}.npz'
-    else:
-        zenbu_fn = save_z_dir / f'zenbu_pk{rsd_str}_ij_lpt_nmesh{nmesh:d}_dk{dk:.3f}.npz'
-        window_fn = save_dir / f'window_nmesh{nmesh:d}_dk{dk:.3f}.npz'
-
-    if not want_rsd:
+    if not s.want_rsd:
         power_tr_dict, power_ij_dict = power_rsd_tr_dict, power_rsd_ij_dict
 
-    # real-space (used for bias fit)
-    k, mu, pk_tt_real, pk_ij_zz_real, pk_ij_zt_real, nmodes = read_power_dict(
-        power_tr_dict, power_ij_dict, want_rsd=False, keynames=keynames, poles=poles
+    # real-space monopoles drive the bias fit; requested-space is reduced
+    k, _, pk_tt_real, pk_ij_zz_real, _, _ = read_power_dict(
+        power_tr_dict, power_ij_dict, want_rsd=False, keynames=keynames,
+        poles=s.poles,
     )
-    # requested-space
-    k, mu, pk_tt_poles, pk_ij_zz_poles, pk_ij_zt_poles, nmodes = read_power_dict(
-        power_rsd_tr_dict, power_rsd_ij_dict, want_rsd=want_rsd,
-        keynames=keynames, poles=poles,
+    k, _, pk_tt_poles, pk_ij_zz_poles, pk_ij_zt_poles, nmodes = read_power_dict(
+        power_rsd_tr_dict, power_rsd_ij_dict, want_rsd=s.want_rsd,
+        keynames=keynames, poles=s.poles,
     )
-    assert np.isclose(k, k_binc).all()
+    assert np.isclose(k, s.k_binc).all()
 
-    bvec_opt = measure_2pt_bias(
-        k, pk_ij_zz_real[:, :, 0], pk_tt_real[0, :, 0], kmax, keynames, rsd=False
+    bias_vec = _fit_zcv_bias(
+        k, pk_ij_zz_real[:, :, 0], pk_tt_real[0, :, 0], s.kmax_fit, keynames
     )
-    bias_vec = np.hstack(
-        [1.0, bvec_opt['x'][:-1], np.zeros(5 - len(bvec_opt['x'])), bvec_opt['x'][-1]]
-    )
-    print('bias', bias_vec)
 
-    if want_rsd:
+    if s.want_rsd:
         pk_tt_input = pk_tt_poles[0, ...]
-        pk_ij_zz_input = pk_ij_zz_poles
-        pk_ij_zt_input = pk_ij_zt_poles
+        pk_ij_zz_input, pk_ij_zt_input = pk_ij_zz_poles, pk_ij_zt_poles
     else:
         pk_tt_input = pk_tt_poles[0, :, 0]
         pk_ij_zz_input = pk_ij_zz_poles[:, :, 0]
         pk_ij_zt_input = pk_ij_zt_poles[:, :, 0]
 
-    data = np.load(window_fn)
-    window = data['window']
-    keff = data['keff']
-    assert len(keff) == len(k_binc), f'Mismatching file: {window_fn}'
-    assert np.abs(keff[-1] - k_binc[-1]) / k_binc[-1] < 0.1
-
+    zenbu_fn = s.presaved(f'zenbu_pk{s.rsd_str}_ij_lpt')
     data = np.load(zenbu_fn)
     pk_ij_zenbu = data['pk_ij_zenbu']
-    assert np.allclose(data['k_binc'], k_binc), f'Mismatching file: {zenbu_fn}'
-    assert np.isclose(data['kcut'], kcut), f'Mismatching file: {zenbu_fn}'
+    assert np.allclose(data['k_binc'], s.k_binc), f'Mismatching file: {zenbu_fn}'
+    assert np.isclose(data['kcut'], s.kcut), f'Mismatching file: {zenbu_fn}'
 
-    pk_zz = combine_spectra(k_binc, pk_ij_zz_input, bias_vec[1:], rsd=want_rsd)
-    pk_zenbu = combine_spectra(k_binc, pk_ij_zenbu, bias_vec[1:], rsd=want_rsd)
-    pk_zn = combine_cross_spectra(k_binc, pk_ij_zt_input, bias_vec[1:], rsd=want_rsd)
+    pk_zz = combine_spectra(s.k_binc, pk_ij_zz_input, bias_vec[1:], rsd=s.want_rsd)
+    pk_zenbu = combine_spectra(s.k_binc, pk_ij_zenbu, bias_vec[1:], rsd=s.want_rsd)
+    pk_zn = combine_cross_spectra(s.k_binc, pk_ij_zt_input, bias_vec[1:], rsd=s.want_rsd)
 
     shotnoise = (pk_tt_input - 2.0 * pk_zn + pk_zz)[0]
     pk_nn_nosn = pk_tt_input.copy()
     pk_nn_nosn[0] -= shotnoise
 
-    if want_rsd:
-        cov_zn = np.stack([multipole_cov(pk_zn, ell) for ell in poles])
-        var_zz = np.stack([multipole_cov(pk_zz, ell) for ell in poles])
-        var_nn = np.stack([multipole_cov(pk_tt_input, ell) for ell in poles])
-        var_nn_nosn = np.stack([multipole_cov(pk_nn_nosn, ell) for ell in poles])
+    covs = s.disconnected_covs(
+        zn=pk_zn, zz=pk_zz, nn=pk_tt_input, nn_nosn=pk_nn_nosn
+    )
+    with np.errstate(divide='ignore', invalid='ignore'):
+        r_zt_sn_lim = covs['nn_nosn'] / np.sqrt(covs['nn'] * covs['nn_nosn'])
+    beta_smooth, r_zt = s.beta_rho(covs['zn'], covs['zz'], covs['nn'])
+
+    if s.want_rsd:
+        pk_zenbu = s.apply_window(pk_zenbu)
     else:
-        cov_zn = 2 * pk_zn**2
-        var_zz = 2 * pk_zz**2
-        var_nn = 2 * pk_tt_input**2
-        var_nn_nosn = 2.0 * pk_nn_nosn**2
-
-    with np.errstate(divide='ignore', invalid='ignore'):
-        r_zt_sn_lim = var_nn_nosn / np.sqrt(var_nn * var_nn_nosn)
-        beta = cov_zn / var_zz
-    beta_smooth = _beta_smooth_damp(beta, k_binc, k0, dk_cv, beta1_k, sg_window)
-
-    with np.errstate(divide='ignore', invalid='ignore'):
-        r_zt = cov_zn / np.sqrt(var_zz * var_nn)
-        r_zt = np.where(np.isclose(r_zt, 0.0), 0.0, r_zt)
-    r_zt = np.atleast_2d(r_zt)
-    r_zt[r_zt != r_zt] = 0
-
-    if want_rsd:
-        pk_zenbu = np.hstack(pk_zenbu)
-        pk_zenbu = np.dot(window.T, pk_zenbu).reshape(len(poles), -1)
+        s.load_window()  # keep the reference's file-presence contract
 
     pk_nn_betasmooth = pk_tt_input - beta_smooth * (pk_zz - pk_zenbu)
 
     return {
-        'k_binc': k_binc,
-        'poles': poles,
+        'k_binc': s.k_binc,
+        'poles': s.poles,
         'rho_tr_ZD': r_zt,
         'rho_tr_ZD_sn_lim': r_zt_sn_lim,
         'Pk_ZD_ZD_ell': pk_zz,
@@ -479,261 +551,208 @@ def combine_field_cross_spectra_k3D(bias, power_tr_fns, keynames):
     return power
 
 
+def _project_monopole(s, p3d):
+    """3D power -> normalized monopole bandpowers."""
+    return (
+        project_3d_to_poles(s.k_bins, p3d, s.lbox, poles=[0])[0].flatten()
+        / s.lbox**3
+    )
+
+
+def _field_reduce(s, pk_nn3d, pk_model3d, pk_cross3d, template_poles,
+                  template_k, out_fn, out_key):
+    """Shared 3D-field CV tail for the zcv/lcv field flows: project the
+    measured/model/cross 3D spectra to poles, fit the damped beta per pole,
+    expand beta and the theory template back to 3D, subtract, write the
+    variance-reduced 3D power, and project the reduced result.
+
+    Returns (rho, model_proj, cross_proj, nn_proj, reduced_poles, nmodes).
+    """
+    def proj(p3d):
+        out = project_3d_to_poles(s.k_bins, p3d, s.lbox, s.poles)[0]
+        return out.reshape(len(s.poles), len(s.k_binc)) / s.lbox**3
+
+    cross_proj = proj(pk_cross3d)
+    del pk_cross3d
+    gc.collect()
+    nn_proj = proj(pk_nn3d)
+    model_proj = proj(pk_model3d)
+
+    # theory template off the model field (requires uniform template bins)
+    assert np.isclose(np.min(np.diff(template_k)), np.max(np.diff(template_k)))
+    pk_model3d = pk_model3d - np.asarray(
+        expand_poles_to_3d(
+            template_k, template_poles, s.nmesh, s.lbox, np.asarray(s.poles)
+        )
+    ) / np.float32(s.lbox**3)
+
+    covs = s.disconnected_covs(xt=cross_proj, xx=model_proj, tt=nn_proj)
+    beta_smooth, rho = s.beta_rho(covs['xt'], covs['xx'], covs['tt'])
+    beta3d = np.asarray(
+        expand_poles_to_3d(s.k_binc, beta_smooth, s.nmesh, s.lbox, np.array([0]))
+    )
+
+    pk_nn3d = pk_nn3d - beta3d * pk_model3d
+    del beta3d, pk_model3d
+    gc.collect()
+
+    header = {
+        'sim_name': s.sim_name, 'Lbox': s.lbox, 'nmesh': s.nmesh,
+        'kcut': s.kcut,
+    }
+    compress_asdf(str(out_fn), {out_key: pk_nn3d}, header)
+    print('Compressed')
+
+    reduced, nmodes = project_3d_to_poles(s.k_bins, pk_nn3d, s.lbox, s.poles)
+    reduced = reduced.reshape(len(s.poles), len(s.k_binc)) / s.lbox**3
+    nmodes = np.asarray(nmodes).flatten()[: len(s.k_binc)]
+    return rho, model_proj, cross_proj, nn_proj, reduced, nmodes
+
+
 def run_zcv_field(power_rsd_tr_fns, power_rsd_ij_fns, power_tr_fns, power_ij_fns, config):
     """Apply ZCV at the 3D-field level (reference :727-946)."""
-    sim_name = config['sim_params']['sim_name']
-    z_this = config['sim_params']['z_mock']
-    zcv_dir = config['zcv_params']['zcv_dir']
-    nmesh = config['zcv_params']['nmesh']
-    kcut = config['zcv_params']['kcut']
-    keynames = np.array(config['zcv_params']['fields'])
-    kmax = config['zcv_params'].get('kmax_fit', 0.15)
-    want_rsd = config['HOD_params']['want_rsd']
-    rsd_str = '_rsd' if want_rsd else ''
-    assert (ZCV_FIELDS[: len(keynames)] == keynames).all()
-    assert nmesh == config['power_params']['nmesh']
-
-    sg_window = config['zcv_params'].get('sg_window', 21)
-    k0 = config['zcv_params'].get('k0_window', 0.618)
-    dk_cv = config['zcv_params'].get('dk_window', 0.167)
-    beta1_k = config['zcv_params'].get('beta1_k', 0.05)
-
-    save_dir = Path(zcv_dir) / sim_name
-    save_z_dir = save_dir / f'z{z_this:.3f}'
-
-    cfg = get_cfg(sim_name, z_this, nmesh)
-    Lbox = cfg['lbox']
-
-    pp = config['power_params']
-    poles = pp['poles']
-    k_hMpc_max = pp.get('k_hMpc_max', np.pi * nmesh / Lbox)
-    logk = pp.get('logk', False)
-    n_k_bins = pp.get('nbins_k', nmesh // 2)
-    n_mu_bins = pp.get('nbins_mu', 1)
-    if not (
-        np.isclose(k_hMpc_max, np.pi * nmesh / Lbox)
-        and not logk
-        and n_k_bins == nmesh // 2
-        and n_mu_bins == 1
-    ):
-        warnings.warn('Setting the parameters correctly for Xi computation')
-        k_hMpc_max = np.pi * nmesh / Lbox
-        logk = False
-        n_k_bins = nmesh // 2
-        n_mu_bins = 1
-
-    zenbu_fn = save_z_dir / f'zenbu_pk{rsd_str}_ij_lpt_nmesh{nmesh:d}.npz'
-    power_cv_tr_fn = save_z_dir / f'power{rsd_str}_ZCV_tr_nmesh{nmesh:d}.asdf'
-
-    k_bins, mu_bins = get_k_mu_edges(Lbox, k_hMpc_max, n_k_bins, n_mu_bins, logk)
-    k_binc = 0.5 * (k_bins[1:] + k_bins[:-1])
+    s = _FlowSetup(config, 'zcv', field_level=True)
+    keynames = _zcv_fields(config)
+    assert s.want_rsd, 'Currently only rsd version implemented'
 
     # bias fit from real-space monopoles
-    pk_nn = np.asarray(_open_data(power_tr_fns[0])['P_k3D_tr_tr'])
-    pk_nn = project_3d_to_poles(k_bins, pk_nn, Lbox, poles=[0])[0].flatten() / Lbox**3
-    pk_ij = np.zeros((15, len(pk_nn)))
-    counter = 0
-    for i in range(len(keynames)):
-        for j in range(len(keynames)):
-            if i < j:
-                continue
-            pk = np.asarray(
-                _open_data(power_ij_fns[counter])[f'P_k3D_{keynames[i]}_{keynames[j]}']
-            )
-            pk = project_3d_to_poles(k_bins, pk, Lbox, poles=[0])
-            pk_ij[counter] = pk[0].flatten() / Lbox**3
-            counter += 1
-
-    bvec_opt = measure_2pt_bias(k_binc, pk_ij, pk_nn, kmax, keynames, rsd=False)
-    bias_vec = np.hstack(
-        [1.0, bvec_opt['x'][:-1], np.zeros(5 - len(bvec_opt['x'])), bvec_opt['x'][-1]]
+    pk_nn_mono = _project_monopole(
+        s, np.asarray(_open_data(power_tr_fns[0])['P_k3D_tr_tr'])
     )
-    print('bias', bias_vec)
+    pk_ij_mono = np.zeros((15, len(pk_nn_mono)))
+    for counter, (i, j) in enumerate(
+        (i, j) for i in range(len(keynames)) for j in range(i + 1)
+    ):
+        p3d = _open_data(power_ij_fns[counter])[
+            f'P_k3D_{keynames[i]}_{keynames[j]}'
+        ]
+        pk_ij_mono[counter] = _project_monopole(s, np.asarray(p3d))
+    bias_vec = _fit_zcv_bias(
+        s.k_binc, pk_ij_mono, pk_nn_mono, s.kmax_fit, keynames
+    )
 
+    zenbu_fn = s.presaved(f'zenbu_pk{s.rsd_str}_ij_lpt')
     data = np.load(zenbu_fn)
-    pk_ij_zenbu = data['pk_ij_zenbu']
-    assert np.allclose(data['k_binc'], k_binc), f'Mismatching file: {zenbu_fn}'
-    assert np.isclose(data['kcut'], kcut)
+    assert np.allclose(data['k_binc'], s.k_binc), f'Mismatching file: {zenbu_fn}'
+    assert np.isclose(data['kcut'], s.kcut)
+    pk_zenbu = combine_spectra(
+        s.k_binc, data['pk_ij_zenbu'], bias_vec[1:], rsd=s.want_rsd
+    )
 
-    pk_zenbu = combine_spectra(k_binc, pk_ij_zenbu, bias_vec[1:], rsd=want_rsd)
-
-    assert want_rsd, 'Currently only rsd version implemented'
     pk_nn = np.asarray(_open_data(power_rsd_tr_fns[0])['P_k3D_tr_tr'])
     pk_zz = combine_field_spectra_k3D(bias_vec, power_rsd_ij_fns, keynames)
     pk_zn = combine_field_cross_spectra_k3D(bias_vec, power_rsd_tr_fns, keynames)
 
-    def _proj(p3d):
-        return (
-            project_3d_to_poles(k_bins, p3d, Lbox, poles)[0].reshape(
-                len(poles), len(k_binc)
-            )
-            / Lbox**3
-        )
-
-    pk_nn_proj = _proj(pk_nn)
-    pk_zn_proj = _proj(pk_zn)
-    del pk_zn
-    gc.collect()
-    pk_zz_proj = _proj(pk_zz)
-
-    assert np.isclose(np.min(np.diff(k_binc)), np.max(np.diff(k_binc)))
-    pk_zz = pk_zz - np.asarray(
-        expand_poles_to_3d(k_binc, pk_zenbu, nmesh, Lbox, np.asarray(poles))
-    ) / np.float32(Lbox**3)
-
-    cov_zn = np.stack([multipole_cov(pk_zn_proj, ell) for ell in poles])
-    var_zz = np.stack([multipole_cov(pk_zz_proj, ell) for ell in poles])
-    var_nn = np.stack([multipole_cov(pk_nn_proj, ell) for ell in poles])
-
-    with np.errstate(divide='ignore', invalid='ignore'):
-        r_zt_proj = np.atleast_2d(cov_zn / np.sqrt(var_zz * var_nn))
-        beta_proj = cov_zn / var_zz
-    beta_smooth = _beta_smooth_damp(beta_proj, k_binc, k0, dk_cv, beta1_k, sg_window)
-    beta_smooth = np.asarray(
-        expand_poles_to_3d(k_binc, beta_smooth, nmesh, Lbox, np.array([0]))
+    out_fn = s.save_z_dir / f'power{s.rsd_str}_ZCV_tr_nmesh{s.nmesh:d}.asdf'
+    rho, zz_proj, zn_proj, nn_proj, reduced, nmodes = _field_reduce(
+        s, pk_nn, pk_zz, pk_zn, pk_zenbu, s.k_binc, out_fn, 'P_k3D_tr_tr_zcv'
     )
 
-    pk_nn = pk_nn - beta_smooth * pk_zz
-    del beta_smooth, pk_zz
-    gc.collect()
-
-    header = {'sim_name': sim_name, 'Lbox': Lbox, 'nmesh': nmesh, 'kcut': kcut}
-    compress_asdf(str(power_cv_tr_fn), {'P_k3D_tr_tr_zcv': pk_nn}, header)
-    print('Compressed')
-
-    pk_nn_betasmooth, nmodes = project_3d_to_poles(k_bins, pk_nn, Lbox, poles)
-    pk_nn_betasmooth = pk_nn_betasmooth.reshape(len(poles), len(k_binc)) / Lbox**3
-    nmodes = np.asarray(nmodes).flatten()[: len(k_binc)]
-
+    V = s.lbox**3
     return {
-        'k_binc': k_binc,
-        'poles': poles,
-        'rho_tr_ZD': r_zt_proj,
-        'Pk_ZD_ZD_ell': pk_zz_proj * Lbox**3,
-        'Pk_tr_ZD_ell': pk_zn_proj * Lbox**3,
-        'Pk_tr_tr_ell': pk_nn_proj.reshape(len(poles), len(k_binc)) * Lbox**3,
+        'k_binc': s.k_binc,
+        'poles': s.poles,
+        'rho_tr_ZD': rho,
+        'Pk_ZD_ZD_ell': zz_proj * V,
+        'Pk_tr_ZD_ell': zn_proj * V,
+        'Pk_tr_tr_ell': nn_proj * V,
         'Nk_tr_tr_ell': nmodes,
-        'Pk_tr_tr_ell_zcv': pk_nn_betasmooth * Lbox**3,
-        'Pk_ZD_ZD_ell_ZeNBu': pk_zenbu.reshape(len(poles), len(k_binc)) / Lbox**3 * Lbox**3,
+        'Pk_tr_tr_ell_zcv': reduced * V,
+        'Pk_ZD_ZD_ell_ZeNBu': pk_zenbu.reshape(len(s.poles), len(s.k_binc)),
         'bias': bias_vec[1:],
     }
 
 
-def run_lcv(power_rsd_tr_dict, power_lin_dict, config):
-    """Apply LCV reduction to measured P_ell(k) (reference :949-1172)."""
-    sim_name = config['sim_params']['sim_name']
-    z_this = config['sim_params']['z_mock']
-    lcv_dir = config['lcv_params']['lcv_dir']
-    nmesh = config['lcv_params']['nmesh']
-    kcut = config['lcv_params']['kcut']
-    kmax = config['lcv_params'].get('kmax_fit', 0.08)
-    want_rsd = config['HOD_params']['want_rsd']
-    assert nmesh == config['power_params']['nmesh']
-
-    sg_window = config['lcv_params'].get('sg_window', 21)
-    k0 = config['lcv_params'].get('k0_window', 0.618)
-    dk_cv = config['lcv_params'].get('dk_window', 0.167)
-    beta1_k = config['lcv_params'].get('beta1_k', 0.05)
-
-    pp = config['power_params']
-    k_hMpc_max, logk = pp['k_hMpc_max'], pp['logk']
-    n_k_bins, n_mu_bins, poles = pp['nbins_k'], pp['nbins_mu'], pp['poles']
-
+def _lcv_recon(config):
     rec_algo = config['HOD_params']['rec_algo']
     R = None if rec_algo == 'recsym' else config['HOD_params']['smoothing']
+    return rec_algo, R
 
-    save_dir = Path(lcv_dir) / sim_name
 
-    meta = get_meta(sim_name, redshift=z_this)
-    Lbox = meta['BoxSize']
-    z_ic = meta['InitialRedshift']
-    D_ratio = meta['GrowthTable'][z_ic] / meta['GrowthTable'][1.0]
+def _lcv_linear_template(s, uniform_grid=False):
+    """kcut-filtered linear theory P(k) at z_mock from the metadata CLASS
+    table (+ GrowthTable scaling). With uniform_grid, resample to even k
+    spacing (expand_poles_to_3d needs it) below the mesh's corner mode."""
+    kth = np.asarray(s.meta['CLASS_power_spectrum']['k (h/Mpc)'])
+    pk_z1 = np.asarray(s.meta['CLASS_power_spectrum']['P (Mpc/h)^3'])
+    if uniform_grid:
+        keep = kth < np.sqrt(3.0) * 1.2 * np.pi * s.nmesh / s.lbox
+        kth, pk_z1 = kth[keep], pk_z1[keep]
+        k_even = np.arange(kth.min(), kth.max(), np.min(np.diff(kth)))
+        pk_z1 = np.interp(k_even, kth, pk_z1)
+        kth = k_even
+    z_ic = s.meta['InitialRedshift']
+    D_ratio = s.meta['GrowthTable'][z_ic] / s.meta['GrowthTable'][1.0]
+    return kth, D_ratio**2 * pk_z1 * np.exp(-((kth / s.kcut) ** 2))
 
-    kth = np.asarray(meta['CLASS_power_spectrum']['k (h/Mpc)'])
-    pk_z1 = np.asarray(meta['CLASS_power_spectrum']['P (Mpc/h)^3'])
-    p_m_lin = D_ratio**2 * pk_z1
-    p_m_lin = p_m_lin * np.exp(-((kth / kcut) ** 2))
 
-    D, f_growth = growth_factors(sim_name, z_this, want_rsd=want_rsd)
-
-    k_bins, mu_bins = get_k_mu_edges(Lbox, k_hMpc_max, n_k_bins, n_mu_bins, logk)
-    k_binc = (k_bins[1:] + k_bins[:-1]) * 0.5
-    dk = k_bins[1] - k_bins[0] if not logk else np.log(k_bins[1] / k_bins[0])
-    if n_k_bins == nmesh // 2:
-        window_fn = save_dir / f'window_nmesh{nmesh:d}.npz'
-    else:
-        window_fn = save_dir / f'window_nmesh{nmesh:d}_dk{dk:.3f}.npz'
-
-    bvec_opt = measure_2pt_bias_lcv(
-        k_binc, power_lin_dict, power_rsd_tr_dict, D, f_growth, kmax,
-        want_rsd, rec_algo, R, ellmax=1,
-    )
-    bias = np.array(bvec_opt['x'])[0]
-    print('bias', bias)
-
+def _rec_f_eff(rec_algo, R, f_growth, kth):
+    """Effective growth rate: reciso removes the smoothed modes' RSD."""
     if rec_algo == 'reciso':
-        S = np.exp(-(kth**2) * R**2 / 2.0)
-        f_eff = f_growth * (1.0 - S)
-    else:
-        f_eff = f_growth
-    kth, p_m_lin_poles = get_poles(kth, p_m_lin, D, bias, f_eff, poles=poles)
+        return f_growth * (1.0 - np.exp(-(kth**2) * R**2 / 2.0))
+    return f_growth
 
-    assert want_rsd, 'Real space not implemented'
+
+def _fit_lcv_bias(s, power_lin_dict, power_tr_dict, D, f_growth, rec_algo, R):
+    fit = measure_2pt_bias_lcv(
+        s.k_binc, power_lin_dict, power_tr_dict, D, f_growth, s.kmax_fit,
+        s.want_rsd, rec_algo, R, ellmax=1,
+    )
+    bias = np.array(fit['x'])[0]
+    print('bias', bias)
+    return bias
+
+
+def run_lcv(power_rsd_tr_dict, power_lin_dict, config):
+    """Apply LCV reduction to measured P_ell(k) (reference :949-1172)."""
+    s = _FlowSetup(config, 'lcv')
+    rec_algo, R = _lcv_recon(config)
+    assert s.want_rsd, 'Real space not implemented'
+
+    kth, p_m_lin = _lcv_linear_template(s)
+    D, f_growth = growth_factors(s.sim_name, s.z_this, want_rsd=s.want_rsd)
+
+    bias = _fit_lcv_bias(
+        s, power_lin_dict, power_rsd_tr_dict, D, f_growth, rec_algo, R
+    )
+
+    f_eff = _rec_f_eff(rec_algo, R, f_growth, kth)
+    kth, p_m_lin_poles = get_poles(kth, p_m_lin, D, bias, f_eff, poles=s.poles)
     p_m_lin_input = np.array(
         [
-            interp1d(kth, p_m_lin_poles[i], fill_value='extrapolate')(k_binc)
-            for i in range(len(poles))
+            interp1d(kth, p_m_lin_poles[i], fill_value='extrapolate')(s.k_binc)
+            for i in range(len(s.poles))
         ]
     )
 
+    nell, nk = len(s.poles), len(s.k_binc)
     pk_ll_input = combine_kaiser_spectra(
-        k_binc, power_lin_dict, D, bias, f_growth, rec_algo, R, rsd=want_rsd
-    ).reshape(len(poles), len(k_binc))
+        s.k_binc, power_lin_dict, D, bias, f_growth, rec_algo, R, rsd=s.want_rsd
+    ).reshape(nell, nk)
     pk_tl_input = combine_cross_kaiser_spectra(
-        k_binc, power_rsd_tr_dict, D, bias, f_growth, rec_algo, R, rsd=want_rsd
-    ).reshape(len(poles), len(k_binc))
-    pk_tt_input = np.asarray(power_rsd_tr_dict['P_ell_tr_tr']).reshape(
-        len(poles), len(k_binc)
-    )
+        s.k_binc, power_rsd_tr_dict, D, bias, f_growth, rec_algo, R,
+        rsd=s.want_rsd,
+    ).reshape(nell, nk)
+    pk_tt_input = np.asarray(power_rsd_tr_dict['P_ell_tr_tr']).reshape(nell, nk)
     nmodes = np.asarray(power_rsd_tr_dict['N_ell_tr_tr']).flatten()
-
-    data = np.load(window_fn)
-    window = data['window']
-    keff = data['keff']
-    assert len(keff) == len(k_binc)
-    assert np.abs(keff[-1] - k_binc[-1]) / k_binc[-1] < 0.1
 
     shotnoise = (pk_tt_input - 2.0 * pk_tl_input + pk_ll_input)[0]
     pk_tt_nosn = pk_tt_input.copy()
     pk_tt_nosn[0] -= shotnoise
 
-    if want_rsd:
-        cov_tl = np.stack([multipole_cov(pk_tl_input, ell) for ell in poles])
-        var_ll = np.stack([multipole_cov(pk_ll_input, ell) for ell in poles])
-        var_tt = np.stack([multipole_cov(pk_tt_input, ell) for ell in poles])
-        var_tt_nosn = np.stack([multipole_cov(pk_tt_nosn, ell) for ell in poles])
-    else:
-        cov_tl = 2 * pk_tl_input**2
-        var_ll = 2 * pk_ll_input**2
-        var_tt = 2 * pk_tt_input**2
-        var_tt_nosn = 2.0 * (pk_tt_input - shotnoise[0]) ** 2
-
+    covs = s.disconnected_covs(
+        tl=pk_tl_input, ll=pk_ll_input, tt=pk_tt_input, tt_nosn=pk_tt_nosn
+    )
     with np.errstate(divide='ignore', invalid='ignore'):
-        r_tl = np.atleast_2d(cov_tl / np.sqrt(var_ll * var_tt))
-        r_tl[r_tl != r_tl] = 0
-        r_tl_sn_lim = var_tt_nosn / np.sqrt(var_tt * var_tt_nosn)
-        beta = cov_tl / var_ll
-    beta_smooth = _beta_smooth_damp(beta, k_binc, k0, dk_cv, beta1_k, sg_window)
+        r_tl_sn_lim = covs['tt_nosn'] / np.sqrt(covs['tt'] * covs['tt_nosn'])
+    beta_smooth, r_tl = s.beta_rho(covs['tl'], covs['ll'], covs['tt'])
 
-    if want_rsd:
-        p_m_lin = np.hstack(p_m_lin_input)
-        p_m_lin = np.dot(window.T, p_m_lin).reshape(len(poles), -1)
-
-    pk_tt_betasmooth = pk_tt_input - beta_smooth * (pk_ll_input - p_m_lin)
+    p_m_lin_windowed = s.apply_window(p_m_lin_input)
+    pk_tt_betasmooth = pk_tt_input - beta_smooth * (pk_ll_input - p_m_lin_windowed)
 
     return {
-        'k_binc': k_binc,
-        'poles': poles,
+        'k_binc': s.k_binc,
+        'poles': s.poles,
         'rho_tr_lf': r_tl,
         'rho_tr_lf_sn_lim': r_tl_sn_lim,
         'Pk_lf_lf_ell': pk_ll_input,
@@ -770,163 +789,69 @@ def combine_field_spectra_k3D_lcv(
 
 def run_lcv_field(power_rsd_tr_fns, power_lin_fns, config):
     """Apply LCV at the 3D-field level (reference :1175-1453)."""
-    sim_name = config['sim_params']['sim_name']
-    z_this = config['sim_params']['z_mock']
-    lcv_dir = config['lcv_params']['lcv_dir']
-    nmesh = config['lcv_params']['nmesh']
-    kcut = config['lcv_params']['kcut']
-    kmax = config['lcv_params'].get('kmax_fit', 0.08)
-    want_rsd = config['HOD_params']['want_rsd']
-    rsd_str = '_rsd' if want_rsd else ''
+    s = _FlowSetup(config, 'lcv', field_level=True)
+    rec_algo, R = _lcv_recon(config)
     keynames = ['delta', 'deltamu2']
-    assert nmesh == config['power_params']['nmesh']
+    assert s.want_rsd, 'Real space not implemented'
 
-    sg_window = config['lcv_params'].get('sg_window', 21)
-    k0 = config['lcv_params'].get('k0_window', 0.618)
-    dk_cv = config['lcv_params'].get('dk_window', 0.167)
-    beta1_k = config['lcv_params'].get('beta1_k', 0.05)
-
-    meta = get_meta(sim_name, redshift=z_this)
-    Lbox = meta['BoxSize']
-    z_ic = meta['InitialRedshift']
-    D_ratio = meta['GrowthTable'][z_ic] / meta['GrowthTable'][1.0]
-
-    pp = config['power_params']
-    poles = pp['poles']
-    k_hMpc_max = pp.get('k_hMpc_max', np.pi * nmesh / Lbox)
-    logk = pp.get('logk', False)
-    n_k_bins = pp.get('nbins_k', nmesh // 2)
-    n_mu_bins = pp.get('nbins_mu', 1)
-    if not (
-        np.isclose(k_hMpc_max, np.pi * nmesh / Lbox)
-        and not logk
-        and n_k_bins == nmesh // 2
-        and n_mu_bins == 1
-    ):
-        warnings.warn('Setting the parameters correctly for Xi computation')
-        k_hMpc_max = np.pi * nmesh / Lbox
-        logk = False
-        n_k_bins = nmesh // 2
-        n_mu_bins = 1
-
-    rec_algo = config['HOD_params']['rec_algo']
-    R = None if rec_algo == 'recsym' else config['HOD_params']['smoothing']
-
-    save_dir = Path(lcv_dir) / sim_name
-    save_z_dir = save_dir / f'z{z_this:.3f}'
-
-    kth = np.asarray(meta['CLASS_power_spectrum']['k (h/Mpc)'])
-    pk_z1 = np.asarray(meta['CLASS_power_spectrum']['P (Mpc/h)^3'])
-    choice = kth < np.sqrt(3.0) * 1.2 * np.pi * nmesh / Lbox
-    kth, pk_z1 = kth[choice], pk_z1[choice]
-    kth_new = np.arange(kth.min(), kth.max(), np.min(np.diff(kth)))
-    pk_z1 = np.interp(kth_new, kth, pk_z1)
-    kth = kth_new
-    p_m_lin = D_ratio**2 * pk_z1
-    p_m_lin = p_m_lin * np.exp(-((kth / kcut) ** 2))
-
-    D, f_growth = growth_factors(sim_name, z_this, want_rsd=want_rsd)
+    kth, p_m_lin = _lcv_linear_template(s, uniform_grid=True)
+    D, f_growth = growth_factors(s.sim_name, s.z_this, want_rsd=s.want_rsd)
     print('D, f = ', D, f_growth)
 
-    k_bins, mu_bins = get_k_mu_edges(Lbox, k_hMpc_max, n_k_bins, n_mu_bins, logk)
-    k_binc = (k_bins[1:] + k_bins[:-1]) * 0.5
-
-    power_cv_tr_fn = save_z_dir / f'power{rsd_str}_LCV_tr_{rec_algo}_nmesh{nmesh:d}.asdf'
-
-    pk_tt = np.asarray(_open_data(power_rsd_tr_fns[0])['P_k3D_tr_tr'])
-    pk_tt = project_3d_to_poles(k_bins, pk_tt, Lbox, poles=[0])[0].flatten() / Lbox**3
-    pk_ij = {}
-    counter = 0
-    for i in range(len(keynames)):
-        for j in range(len(keynames)):
-            if i < j:
-                continue
-            pk = np.asarray(
-                _open_data(power_lin_fns[counter])[f'P_k3D_{keynames[i]}_{keynames[j]}']
-            )
-            pk = project_3d_to_poles(k_bins, pk, Lbox, poles=[0])
-            pk_ij[f'P_ell_{keynames[i]}_{keynames[j]}'] = (
-                pk[0].flatten() / Lbox**3
-            ).reshape(1, len(pk_tt), 1)
-            counter += 1
-
-    bvec_opt = measure_2pt_bias_lcv(
-        k_binc, pk_ij, {'P_ell_tr_tr': pk_tt.reshape(1, len(pk_tt), 1)},
-        D, f_growth, kmax, want_rsd, rec_algo, R, ellmax=1,
+    # bias fit from real-space monopoles, marshaled into the dict shapes
+    # measure_2pt_bias_lcv reads
+    pk_tt_mono = _project_monopole(
+        s, np.asarray(_open_data(power_rsd_tr_fns[0])['P_k3D_tr_tr'])
     )
-    bias = np.array(bvec_opt['x'])[0]
-    print('bias', bias)
+    pk_lin_mono = {}
+    for counter, (i, j) in enumerate(
+        (i, j) for i in range(len(keynames)) for j in range(i + 1)
+    ):
+        key = f'{keynames[i]}_{keynames[j]}'
+        mono = _project_monopole(
+            s, np.asarray(_open_data(power_lin_fns[counter])[f'P_k3D_{key}'])
+        )
+        pk_lin_mono[f'P_ell_{key}'] = mono.reshape(1, len(pk_tt_mono), 1)
+    bias = _fit_lcv_bias(
+        s, pk_lin_mono,
+        {'P_ell_tr_tr': pk_tt_mono.reshape(1, len(pk_tt_mono), 1)},
+        D, f_growth, rec_algo, R,
+    )
 
-    if rec_algo == 'reciso':
-        S = np.exp(-(kth**2) * R**2 / 2.0)
-        f_eff = f_growth * (1.0 - S)
-    else:
-        f_eff = f_growth
-    kth, p_m_lin_poles = get_poles(kth, p_m_lin, D, bias, f_eff, poles=poles)
-    assert want_rsd, 'Real space not implemented'
+    f_eff = _rec_f_eff(rec_algo, R, f_growth, kth)
+    kth, p_m_lin_poles = get_poles(kth, p_m_lin, D, bias, f_eff, poles=s.poles)
 
     pk_tt, pk_ll, pk_lt = combine_field_spectra_k3D_lcv(
-        bias, f_growth, D, power_lin_fns, power_rsd_tr_fns, nmesh, Lbox, R, rec_algo
+        bias, f_growth, D, power_lin_fns, power_rsd_tr_fns, s.nmesh, s.lbox,
+        R, rec_algo,
     )
 
-    def _proj(p3d):
-        return (
-            project_3d_to_poles(k_bins, p3d, Lbox, poles)[0].reshape(
-                len(poles), len(k_binc)
-            )
-            / Lbox**3
-        )
-
-    pk_lt_proj = _proj(pk_lt)
-    del pk_lt
-    gc.collect()
-    pk_tt_proj = _proj(pk_tt)
-    pk_ll_proj = _proj(pk_ll)
-
-    assert np.isclose(np.min(np.diff(kth)), np.max(np.diff(kth)))
-    pk_ll = pk_ll - np.asarray(
-        expand_poles_to_3d(kth, p_m_lin_poles, nmesh, Lbox, np.asarray(poles))
-    ) / np.float32(Lbox**3)
-
-    cov_lt = np.stack([multipole_cov(pk_lt_proj, ell) for ell in poles])
-    var_ll = np.stack([multipole_cov(pk_ll_proj, ell) for ell in poles])
-    var_tt = np.stack([multipole_cov(pk_tt_proj, ell) for ell in poles])
-
-    with np.errstate(divide='ignore', invalid='ignore'):
-        beta_proj = cov_lt / var_ll
-        r_lt_proj = np.atleast_2d(cov_lt / np.sqrt(var_ll * var_tt))
-    beta_smooth = _beta_smooth_damp(beta_proj, k_binc, k0, dk_cv, beta1_k, sg_window)
-    beta_smooth = np.asarray(
-        expand_poles_to_3d(k_binc, beta_smooth, nmesh, Lbox, np.array([0]))
+    out_fn = (
+        s.save_z_dir
+        / f'power{s.rsd_str}_LCV_tr_{rec_algo}_nmesh{s.nmesh:d}.asdf'
+    )
+    rho, ll_proj, lt_proj, tt_proj, reduced, nmodes = _field_reduce(
+        s, pk_tt, pk_ll, pk_lt, p_m_lin_poles, kth, out_fn, 'P_k3D_tr_tr_lcv'
     )
 
-    pk_tt = pk_tt - beta_smooth * pk_ll
-    del beta_smooth, pk_ll
-    gc.collect()
+    p_m_lin_input = np.array(
+        [
+            interp1d(kth, p_m_lin_poles[i], fill_value='extrapolate')(s.k_binc)
+            / s.lbox**3
+            for i in range(len(s.poles))
+        ]
+    )
 
-    header = {'sim_name': sim_name, 'Lbox': Lbox, 'nmesh': nmesh, 'kcut': kcut}
-    compress_asdf(str(power_cv_tr_fn), {'P_k3D_tr_tr_lcv': pk_tt}, header)
-    print('Compressed')
-
-    pk_tt_betasmooth, nmodes = project_3d_to_poles(k_bins, pk_tt, Lbox, poles)
-    pk_tt_betasmooth = pk_tt_betasmooth.reshape(len(poles), len(k_binc)) / Lbox**3
-    nmodes = np.asarray(nmodes).flatten()[: len(k_binc)]
-
-    p_m_lin_input = np.zeros((len(poles), len(k_binc)))
-    for i in range(len(poles)):
-        p_m_lin_input[i] = (
-            interp1d(kth, p_m_lin_poles[i], fill_value='extrapolate')(k_binc) / Lbox**3
-        )
-
+    V = s.lbox**3
     return {
-        'k_binc': k_binc,
-        'poles': poles,
-        'rho_tr_lf': r_lt_proj,
-        'Pk_lf_lf_ell': pk_ll_proj * Lbox**3,
-        'Pk_tr_lf_ell': pk_lt_proj * Lbox**3,
-        'Pk_tr_tr_ell': pk_tt_proj * Lbox**3,
+        'k_binc': s.k_binc,
+        'poles': s.poles,
+        'rho_tr_lf': rho,
+        'Pk_lf_lf_ell': ll_proj * V,
+        'Pk_tr_lf_ell': lt_proj * V,
+        'Pk_tr_tr_ell': tt_proj * V,
         'Nk_tr_tr_ell': nmodes,
-        'Pk_tr_tr_ell_lcv': pk_tt_betasmooth * Lbox**3,
-        'Pk_lf_lf_ell_CLASS': p_m_lin_input * Lbox**3,
+        'Pk_tr_tr_ell_lcv': reduced * V,
+        'Pk_lf_lf_ell_CLASS': p_m_lin_input * V,
         'bias': bias,
     }

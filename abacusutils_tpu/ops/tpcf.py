@@ -110,7 +110,29 @@ def _count_smu(pos1, pos2, sbins2, nmu_f, lbox, ns, nmu, autocorr, ntile,
     return counts
 
 
+def _is_soa(pos):
+    """True for the SoA staging form: a (x, y, z) tuple/list of 1D columns.
+
+    1D columns avoid the (N, 3) HBM lane padding (a (N, 3) device array
+    tiles to (N, 128), a 42x memory blowup), so multi-million-point tracers
+    can stay resident across wp/xi/multipole calls."""
+    return isinstance(pos, (tuple, list)) and len(pos) == 3
+
+
+def _npoints(pos):
+    return len(pos[0]) if _is_soa(pos) else len(pos)
+
+
+def _to_aos(pos):
+    """Materialize an (N, 3) HOST array from either input form (used only
+    by the small-N tiled fallback)."""
+    if _is_soa(pos):
+        return np.stack([np.asarray(c) for c in pos], axis=1)
+    return np.asarray(pos)
+
+
 def _pad_tiles(pos, tile=_TILE):
+    pos = _to_aos(pos)
     n = len(pos)
     npad = (-n) % tile
     if npad:
@@ -298,11 +320,21 @@ class _SideStage:
     _CAP0 = 16
 
     def __init__(self, pos, lbox, nc):
-        n = len(pos)
+        n = _npoints(pos)
         npad = _pow2ceil(n)
-        if isinstance(pos, jax.Array):
-            # device-resident input: no host round trip (callers staging
-            # positions once skip the dominant transfer cost)
+        if _is_soa(pos) and isinstance(pos[0], jax.Array):
+            # 1D SoA device columns: no host round trip and no (N, 128)
+            # lane-padding blowup while cached
+            coords = [
+                jnp.pad(
+                    jnp.mod(col, lbox).astype(jnp.float32),
+                    (0, npad - n), constant_values=jnp.inf,
+                )
+                for col in pos
+            ]
+        elif isinstance(pos, jax.Array):
+            # device-resident (N, 3) input: no host round trip (callers
+            # staging positions once skip the dominant transfer cost)
             coords = [
                 jnp.pad(
                     jnp.mod(pos[:, axis], lbox).astype(jnp.float32),
@@ -311,7 +343,7 @@ class _SideStage:
                 for axis in range(3)
             ]
         else:
-            p = np.mod(np.asarray(pos, np.float64), lbox)
+            p = np.mod(_to_aos(pos).astype(np.float64), lbox)
             coords = []
             for axis in range(3):
                 a = np.full(npad, np.inf, np.float32)
@@ -419,14 +451,26 @@ _STAGE_CACHE_LEN = 8  # tracers x {rppi, smu} grids in a multi-tracer loop
 _stage_cache = []
 
 
+def _stage_key(pos):
+    """Identity key for stage caching: device inputs (either form) are
+    cacheable; host arrays are not (they may be mutated between calls)."""
+    if isinstance(pos, jax.Array):
+        return (id(pos),)
+    if _is_soa(pos) and all(isinstance(c, jax.Array) for c in pos):
+        return tuple(id(c) for c in pos)
+    return None
+
+
 def _get_stage(pos, lbox, nc):
-    if not isinstance(pos, jax.Array):
+    key = _stage_key(pos)
+    if key is None:
         return _SideStage(pos, lbox, nc)
     for ent in _stage_cache:
-        if ent[0] is pos and ent[1] == (lbox, nc):
+        if ent[0] == key and ent[1] == (lbox, nc):
             return ent[2]
     st = _SideStage(pos, lbox, nc)
-    _stage_cache.insert(0, (pos, (lbox, nc), st))
+    # hold a ref to pos so the ids in the key can't be recycled
+    _stage_cache.insert(0, (key, (lbox, nc), st, pos))
     del _stage_cache[_STAGE_CACHE_LEN:]
     return st
 
@@ -436,7 +480,7 @@ def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
     """Grid-engine dispatch; returns None when cell decomposition doesn't
     apply (box too small relative to rmax, or N too small to matter).
     method: None = auto, 'cell' forces the grid path, 'tile' disables it."""
-    n1 = len(pos1)
+    n1 = _npoints(pos1)
     autocorr = pos2 is None
     nc = int(lbox // rmax)
     if nc < 3 or method == 'tile' or (method != 'cell' and n1 < _CELL_MIN_N):
@@ -445,6 +489,12 @@ def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
 
     sideA = _get_stage(pos1, lbox, nc)
     sideB = sideA if autocorr else _get_stage(pos2, lbox, nc)
+    if max(sideA.caps) * max(sideB.caps) > 1 << 23:
+        # a single row-pair of the largest classes would exceed the 2^24
+        # f32-exactness budget of the one-hot histogram even at Pc=1;
+        # only pathological occupancy (>2048^2 per cell pair) gets here —
+        # fall back to the exact tiled O(N^2) engine
+        return None
     # the sorted item list and combo sizes depend only on the two stages:
     # memoize on them (cached stages make repeat calls skip this too)
     items = getattr(sideA, '_items_cache', None)
@@ -456,7 +506,9 @@ def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
         sideA._items_cache = (sideB, autocorr, ia, ib, sizes)
 
     edges2_j = jnp.asarray(np.asarray(edges2, np.float64))
-    acc = None  # accumulate on device; one host sync at the end
+    acc = None  # accumulate on device; host syncs only on int32-overflow risk
+    total = np.zeros((nb1, nb2), np.int64)
+    bound = 0  # upper limit on any device-accumulated bin count
     off = 0
     for ckey in np.flatnonzero(sizes):
         P = int(sizes[ckey])
@@ -473,24 +525,40 @@ def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
             off += P
             continue
         capA, capB = sideA.caps[a], sideB.caps[b]
-        Pc = max(8, 2**21 // (capA * capB))
+        # Pc * capA * capB <= 2^22 < 2^24 keeps every per-block histogram
+        # bin exactly representable in the f32 MXU accumulation
+        Pc = max(1, 2**21 // (capA * capB))
         Ppad = -(-P // Pc) * Pc
         ja = jnp.pad(ia[off:off + P], (0, Ppad - P),
                      constant_values=sideA.cpads[a] - 1)
         jb = jnp.pad(ib[off:off + P], (0, Ppad - P),
                      constant_values=sideB.cpads[b] - 1)
-        counts = _combo_counts(
-            sideA.layouts[a], sideB.layouts[b], ja, jb,
-            edges2_j, jnp.float32(aux), jnp.float32(lbox),
-            mode, nb1, nb2, capA, capB, Pc,
-        )
-        counts = counts * mult if mult != 1 else counts
-        acc = counts if acc is None else acc + counts
+        # segment the item list so no device-side int32 accumulator — per
+        # block, per combo, or across combos — can ever see >= 2^31 pairs
+        pairs_per_blk = mult * Pc * capA * capB
+        blks_per_seg = max(1, ((1 << 31) - 1) // pairs_per_blk)
+        nblk_total = ja.shape[0] // Pc
+        for s0 in range(0, nblk_total, blks_per_seg):
+            nb = min(blks_per_seg, nblk_total - s0)
+            seg_bound = nb * pairs_per_blk
+            if acc is not None and bound + seg_bound >= (1 << 31):
+                # flush to a host int64 total before the int32 device
+                # accumulator could wrap (>2e9 candidate pairs so far)
+                total += np.asarray(acc, np.int64)
+                acc, bound = None, 0
+            bound += seg_bound
+            counts = _combo_counts(
+                sideA.layouts[a], sideB.layouts[b],
+                ja[s0 * Pc:(s0 + nb) * Pc], jb[s0 * Pc:(s0 + nb) * Pc],
+                edges2_j, jnp.float32(aux), jnp.float32(lbox),
+                mode, nb1, nb2, capA, capB, Pc,
+            )
+            counts = counts * mult if mult != 1 else counts
+            acc = counts if acc is None else acc + counts
         off += P
 
-    total = np.asarray(acc, np.int64) if acc is not None else np.zeros(
-        (nb1, nb2), np.int64
-    )
+    if acc is not None:
+        total += np.asarray(acc, np.int64)
     if autocorr and float(np.asarray(edges2)[0]) <= 0:
         # self-pairs (i == i) land in bin (0, 0): rp = dz = 0 (mu = 0)
         total[0, 0] -= n1
@@ -503,7 +571,7 @@ def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None, method=None):
     Returns (nrp, int(pimax)) int64 array. Each unordered pair counts twice
     for the autocorrelation (Corrfunc DDrppi convention).
     """
-    if not isinstance(pos1, jax.Array):
+    if not (isinstance(pos1, jax.Array) or _is_soa(pos1)):
         pos1 = np.asarray(pos1, np.float64)
     autocorr = pos2 is None
     rpbins = np.asarray(rpbins)
@@ -516,8 +584,8 @@ def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None, method=None):
     )
     if cell is not None:
         return cell
-    pos1 = np.asarray(pos1, np.float64)
-    pos2a = pos1 if autocorr else np.asarray(pos2, np.float64)
+    pos1 = _to_aos(pos1).astype(np.float64)
+    pos2a = pos1 if autocorr else _to_aos(pos2).astype(np.float64)
     p1, ntile = _pad_tiles(pos1)
     counts = _count_rppi(
         jnp.asarray(p1),
@@ -535,7 +603,7 @@ def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None, method=None):
 
 def pair_counts_smu(pos1, sbins, nbins_mu, lbox, pos2=None, method=None):
     """Ordered pair counts in (s, mu) bins on a periodic box."""
-    if not isinstance(pos1, jax.Array):
+    if not (isinstance(pos1, jax.Array) or _is_soa(pos1)):
         pos1 = np.asarray(pos1, np.float64)
     autocorr = pos2 is None
     sbins = np.asarray(sbins)
@@ -547,8 +615,8 @@ def pair_counts_smu(pos1, sbins, nbins_mu, lbox, pos2=None, method=None):
     )
     if cell is not None:
         return cell
-    pos1 = np.asarray(pos1, np.float64)
-    pos2a = pos1 if autocorr else np.asarray(pos2, np.float64)
+    pos1 = _to_aos(pos1).astype(np.float64)
+    pos2a = pos1 if autocorr else _to_aos(pos2).astype(np.float64)
     p1, ntile = _pad_tiles(pos1)
     counts = _count_smu(
         jnp.asarray(p1),
@@ -601,8 +669,8 @@ def _resolve_pos(x1, y1, z1, x2, y2, z2, pos1, pos2):
         pos1 = np.stack([x1, y1, z1], axis=1)
     if pos2 is None and x2 is not None:
         pos2 = np.stack([x2, y2, z2], axis=1)
-    ND1 = float(len(pos1))
-    ND2 = ND1 if pos2 is None else float(len(pos2))
+    ND1 = float(_npoints(pos1))
+    ND2 = ND1 if pos2 is None else float(_npoints(pos2))
     return pos1, pos2, ND1, ND2
 
 

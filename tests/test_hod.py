@@ -99,6 +99,104 @@ def test_hod_golden(prepared, testdata):
     )
 
 
+def test_ngal_integrals(prepared):
+    """Numerical validation of compute_ngal (reference integrals
+    abacus_hod.py:980-1179): (i) the binned mass-function integral must
+    match an unbinned per-halo quadrature of the same HOD shapes, and
+    (ii) the realized mock count must land within Poisson scatter of the
+    prediction — LRG + ELG with ELG conformity switched on."""
+    import copy
+
+    from abacusutils_tpu.models.hod import shapes_np
+
+    config = copy.deepcopy(prepared)
+    # switch ELG conformity on (the base fixture config leaves it off)
+    config['HOD_params']['ELG_params']['logM1_EE'] = 13.8
+    config['HOD_params']['ELG_params']['alpha_EE'] = 1.1
+    ball = AbacusHOD(
+        config['sim_params'], config['HOD_params'], config['clustering_params']
+    )
+    ngal, fsat = ball.compute_ngal()
+
+    # (i) unbinned quadrature: evaluate the integrand on every staged halo
+    hd = ball.halo_data
+    M = np.asarray(hd['hmass'], np.float64)
+    zeros = np.zeros_like(M)
+    dc = np.asarray(hd.get('hdeltac', zeros), np.float64)
+    fe = np.asarray(hd.get('hfenv', zeros), np.float64)
+    shear = np.asarray(hd.get('hshear', zeros), np.float64)
+    mult = np.asarray(hd['hmultis'], np.float64)
+
+    direct = {}
+    for tr, hod in ball.tracers.items():
+        Delta_a = 1.0 / (1 + ball.z_mock) - 1.0 / (
+            1 + hod.get('z_pivot', ball.z_mock)
+        )
+        lMc0 = hod['logM_cut'] + hod.get('logM_cut_pr', 0) * Delta_a
+        lM10 = hod['logM1'] + hod.get('logM1_pr', 0) * Delta_a
+        ic = hod.get('ic', 1)
+        lMc = lMc0 + hod.get('Acent', 0) * dc + hod.get('Bcent', 0) * fe
+        lM1 = lM10 + hod.get('Asat', 0) * dc + hod.get('Bsat', 0) * fe
+        if tr == 'LRG':
+            nc = shapes_np.n_cen_LRG(M, lMc, hod['sigma']) * ic
+            ns = (
+                shapes_np.n_sat_LRG_modified(
+                    M, lMc, 10**lMc, 10**lM1, hod['sigma'], hod['alpha'],
+                    hod['kappa'],
+                )
+                * ic
+            )
+            direct[tr] = float((mult * (nc + ns)).sum())
+        elif tr == 'ELG':
+            lMc = lMc + hod.get('Ccent', 0) * shear
+            lM1 = lM1 + hod.get('Csat', 0) * shear
+            lM1_conf = (
+                hod.get('logM1_EE', lM10)
+                + hod.get('Asat', 0) * dc
+                + hod.get('Bsat', 0) * fe
+                + hod.get('Csat', 0) * shear
+            )
+            nc = (
+                shapes_np.N_cen_ELG_v1(
+                    M, hod['p_max'], hod['Q'], lMc, hod['sigma'], hod['gamma']
+                )
+                * ic
+            )
+            ns = (
+                shapes_np.N_sat_elg(
+                    M, 10**lMc, hod['kappa'], 10**lM1, hod['alpha'],
+                    hod.get('A_s', 1),
+                )
+                * ic
+            )
+            ns_conf = (
+                shapes_np.N_sat_elg(
+                    M, 10**lMc, hod['kappa'], 10**lM1_conf,
+                    hod.get('alpha_EE', hod['alpha']), hod.get('A_s', 1),
+                )
+                * ic
+            )
+            direct[tr] = float(
+                (mult * (nc + ns * (1 - nc) + ns_conf * nc)).sum()
+            )
+        else:
+            continue
+        assert ngal[tr] > 0
+        # binned (100 bins/axis) vs unbinned integral of the same shapes
+        assert abs(ngal[tr] - direct[tr]) / direct[tr] < 1e-3, (
+            tr, ngal[tr], direct[tr],
+        )
+
+    # (ii) realized mock within 5 sigma Poisson of the prediction
+    mock = ball.run_hod(ball.tracers, config['HOD_params']['want_rsd'],
+                        write_to_disk=False)
+    for tr in ('LRG', 'ELG'):
+        n_mock = len(mock[tr]['x'])
+        assert abs(n_mock - ngal[tr]) <= 5 * np.sqrt(ngal[tr]) + 5, (
+            tr, n_mock, ngal[tr],
+        )
+
+
 def test_reseed(prepared):
     """Reseed semantics: PCG64 streams (NOT bitwise-matched to the reference's
     MTGenerator — impossible across generators). Contract tested instead:

@@ -129,6 +129,22 @@ def test_device_input_matches_host():
     npt.assert_array_equal(got2, want)
     assert len(tpcf._stage_cache) == n_stages  # second call hit the cache
 
+    # SoA form (three 1D device columns — the memory-lean staging used by
+    # AbacusHOD._pair_loop) must bin identically and cache its stage too
+    soa = tuple(jnp.asarray(pos[:, i]) for i in range(3))
+    got3 = pair_counts_rppi(soa, RPBINS, PIMAX, LBOX, method='cell')
+    npt.assert_array_equal(got3, want)
+    n_stages = len(tpcf._stage_cache)
+    got3b = pair_counts_rppi(soa, RPBINS, PIMAX, LBOX, method='cell')
+    npt.assert_array_equal(got3b, want)
+    assert len(tpcf._stage_cache) == n_stages  # repeat call reused the stage
+    want4 = pair_counts_smu(pos, SBINS, 10, LBOX, method='cell')
+    got4 = pair_counts_smu(soa, SBINS, 10, LBOX, method='cell')
+    npt.assert_array_equal(got4, want4)
+    # tiled fallback accepts SoA as well
+    got5 = pair_counts_rppi(soa, RPBINS, PIMAX, LBOX, method='tile')
+    npt.assert_array_equal(got5, want)
+
 
 def test_wrappers_consistent():
     """xirppi/wp/multipole wrappers: wp = 2*sum_pi xi, multipoles finite,
