@@ -222,9 +222,7 @@ def _stage_sort_by_cell(cols, x, y, nmesh, yb, box, offset):
     return sorted_ops[1:], starts.astype(jnp.int32)
 
 
-@partial(
-    jax.jit, static_argnames=('K', 'ncell'), donate_argnames=('sorted_cols',)
-)
+@partial(jax.jit, static_argnames=('K', 'ncell'))
 def _stage_expand_padded(sorted_cols, starts, fills, K, ncell):
     """Device half 2: expand cell-sorted columns into the padded (ncell, K)
     deposit layout, scatter-free. Each cell's run is one dynamic-slice copy
@@ -295,7 +293,15 @@ def _paint_grouped(grid, xg, yg, zg, wg, box, offset, nmesh, K, chunk, bf16):
     iy = jnp.mod(iy, nmesh)
     iz = jnp.mod(iz, nmesh)
 
+    # the iota-compare runs in u8 when the index range fits a byte
+    # (nmesh <= 256): 4 indices per f32 lane on the VPU — measured 14%
+    # faster at 50M (scripts/tsc/bench_deposit_variants.py). The u8 columns
+    # MUST be an i32 iota converted to u8; a direct u8 iota hits a slow
+    # Mosaic path that erases the entire gain.
+    u8 = nmesh <= 256
     cols = jnp.arange(nmesh, dtype=jnp.int32)
+    if u8:
+        cols = cols.astype(jnp.uint8)
     nchunk = K // chunk
     mdtype = jnp.bfloat16 if bf16 else jnp.float32
 
@@ -312,6 +318,8 @@ def _paint_grouped(grid, xg, yg, zg, wg, box, offset, nmesh, K, chunk, bf16):
             # lane rolls instead of three compares — the compares are the
             # VPU-bound part of the deposit (25% faster measured at 52M).
             def onehot(i0, w3):
+                if u8:
+                    i0 = i0.astype(jnp.uint8)
                 M = (cols[None, :] == i0[:, None]).astype(jnp.float32)
                 return (
                     w3[0] * jnp.roll(M, -1, axis=1)
@@ -422,8 +430,18 @@ def paint_grouped_yb(gridp, xg, yg, zg, wg, box, offset, nmesh, B, K2, chunk=819
     iy = jnp.mod(iy, nmesh)
     iz = jnp.mod(iz, nmesh)
 
+    # u8 iota-compare for the WIDE z one-hot only (4 indices per f32 VPU
+    # lane; 14% faster at 50M, scripts/tsc/bench_deposit_variants.py).
+    # The narrow (B+2)-lane y one-hot stays i32: u8 there costs a lane
+    # repack that outweighs the compare saving (measured +0.035s/50M).
+    u8z = nmesh <= 256
     colsB = jnp.arange(B + 2, dtype=jnp.int32)
+    # NOTE: build the u8 columns as an i32 iota CONVERTED to u8 — a direct
+    # u8 iota (or embedded u8 literal) takes a slow Mosaic path and erases
+    # the gain (0.22 vs 0.184 s/50M, scripts/tsc/bench_deposit_variants.py)
     colsZ = jnp.arange(nmesh, dtype=jnp.int32)
+    if u8z:
+        colsZ = colsZ.astype(jnp.uint8)
     nchunk = K2 // chunk
 
     def cell_body(c, gridp):
@@ -440,6 +458,8 @@ def paint_grouped_yb(gridp, xg, yg, zg, wg, box, offset, nmesh, B, K2, chunk=819
             wx_c = [sl(w) for w in wx]
 
             def onehot(i0, w3, cols):
+                if cols.dtype == jnp.uint8:
+                    i0 = i0.astype(jnp.uint8)
                 M = (cols[None, :] == i0[:, None]).astype(jnp.float32)
                 return (
                     w3[0] * jnp.roll(M, -1, axis=1)
@@ -447,9 +467,12 @@ def paint_grouped_yb(gridp, xg, yg, zg, wg, box, offset, nmesh, B, K2, chunk=819
                     + w3[2] * jnp.roll(M, 1, axis=1)
                 )
 
+            # construction order matters to the scheduler: LHS (Wy -> A)
+            # fully built before the wide Wz, then the dot — measured 15%
+            # faster than interleaving Wz between Wy and A at 50M
             Wy = onehot(iy_c, wy_c, colsB)  # (chunk, B+2)
-            Wz = onehot(iz_c, wz_c, colsZ)  # (chunk, nmesh)
             A = jnp.concatenate([(wx_c[o][:, None] * Wy) for o in range(3)], axis=1)
+            Wz = onehot(iz_c, wz_c, colsZ)  # (chunk, nmesh)
             D = jax.lax.dot_general(
                 A, Wz, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

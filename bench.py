@@ -61,9 +61,12 @@ def main():
     t0 = time.perf_counter()
     halo = {k: jax.device_put(np.asarray(v, np.float32), dev) for k, v in halo.items()}
     part = {k: jax.device_put(np.asarray(v, np.float32), dev) for k, v in part.items()}
-    for d in (halo, part):
-        for v in d.values():
-            jax.device_get(v[-1:])
+    # one scalar reduction over every array -> a single D2H round trip
+    # (per-array gets would each pay the tunnel latency)
+    sync = jax.jit(
+        lambda h, p: sum(v[-1] for v in h.values()) + sum(v[-1] for v in p.values())
+    )
+    float(sync(halo, part))
     t_upload = time.perf_counter() - t0
     print('device_put', t_upload, file=sys.stderr, flush=True)
 
