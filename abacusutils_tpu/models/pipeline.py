@@ -179,13 +179,12 @@ def group_inputs2d_device(cat, nmesh, lbox, yb=16, chunk=512):
     (N,) column once. Returns (grouped dict of flat device arrays, plan).
     """
     keys = list(cat)
-    half = lbox / 2  # grouping uses box-frame coords like group_inputs2d
     cols = [jnp.asarray(cat[k], jnp.float32) for k in keys]
-    x = cols[keys.index('x')] + jnp.float32(half)
-    y = cols[keys.index('y')] + jnp.float32(half)
     fills = [2.0 if k == 'randoms' else 0.0 for k in keys]
     staged, K = stage_grouped2d_import(
-        cols, x, y, nmesh, lbox, yb, fills, offset=0.0, chunk=chunk
+        cols, nmesh, lbox, yb, fills, offset=0.0, chunk=chunk,
+        xi=keys.index('x'), yi=keys.index('y'),
+        shift=lbox / 2,  # grouping uses box-frame coords like group_inputs2d
     )
     return dict(zip(keys, staged)), _DeviceStagePlan(
         int(nmesh), int(yb), float(lbox), 0.0, K

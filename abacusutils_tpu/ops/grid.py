@@ -195,12 +195,17 @@ def build_paint_plan(px, nmesh, box, offset=0.0, chunk=2048):
     return PaintPlan(jnp.asarray(pad_idx), int(nmesh), float(box), float(offset), K)
 
 
-@partial(jax.jit, static_argnames=('nmesh', 'yb', 'box', 'offset'))
-def _stage_sort_by_cell(cols, x, y, nmesh, yb, box, offset):
+@partial(
+    jax.jit,
+    static_argnames=('nmesh', 'yb', 'box', 'offset', 'xi', 'yi', 'shift'),
+)
+def _stage_sort_by_cell(cols, nmesh, yb, box, offset, xi=0, yi=1, shift=0.0):
     """Device half 1 of the grouped-deposit staging: sort all columns by
     (x-cell, y-block) key in one multi-operand sort and return the sorted
     columns plus the per-cell run starts (searchsorted over the sorted keys).
 
+    The key coordinates are cols[xi] + shift and cols[yi] + shift (the
+    shift folds the caller's box-centering in, avoiding extra dispatches).
     The key formula mirrors build_paint_plan2d's host `_cells_1d` exactly so
     device and host stagings produce the same cell assignment.
     """
@@ -208,13 +213,14 @@ def _stage_sort_by_cell(cols, x, y, nmesh, yb, box, offset):
     scale = jnp.float32(nmesh) / boxf
 
     def cells(p):
+        p = p + jnp.float32(shift)
         p = jnp.where(p >= boxf, p - boxf, p)
         p = jnp.where(p < 0, p + boxf, p)
         q = (p + jnp.float32(offset)) * scale
         return jnp.floor(q + jnp.float32(0.5)).astype(jnp.int32) % nmesh
 
     nyb = nmesh // yb
-    key = cells(x) * nyb + cells(y) // yb
+    key = cells(cols[xi]) * nyb + cells(cols[yi]) // yb
     sorted_ops = jax.lax.sort((key,) + tuple(cols), num_keys=1)
     skey = sorted_ops[0]
     ncell = nmesh * nyb
@@ -222,31 +228,36 @@ def _stage_sort_by_cell(cols, x, y, nmesh, yb, box, offset):
     return sorted_ops[1:], starts.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=('K', 'ncell'))
+@partial(jax.jit, static_argnames=('fills', 'K', 'ncell'))
 def _stage_expand_padded(sorted_cols, starts, fills, K, ncell):
     """Device half 2: expand cell-sorted columns into the padded (ncell, K)
     deposit layout, scatter-free. Each cell's run is one dynamic-slice copy
     (runs are contiguous after the sort); slots past the cell's occupancy
-    get the per-column fill value. Returns an (n_cols, ncell, K) array.
+    get the per-column fill value (`fills`: static tuple, baked as
+    constants). Returns a tuple of flat (ncell*K,) arrays — everything in
+    one dispatch, which matters on high-latency dev tunnels.
     """
     ncols = len(sorted_cols)
     occ = starts[1:] - starts[:-1]
+    fills_v = jnp.asarray(np.asarray(fills, np.float32))
     mat = jnp.stack(sorted_cols)  # (ncols, N) — long axis last
     ext = jnp.concatenate(
-        [mat, jnp.broadcast_to(fills[:, None], (ncols, K))], axis=1
+        [mat, jnp.broadcast_to(fills_v[:, None], (ncols, K))], axis=1
     )
     iota_k = jnp.arange(K, dtype=jnp.int32)
 
     def copy_cell(c, out):
         blk = jax.lax.dynamic_slice(ext, (0, starts[c]), (ncols, K))
-        blk = jnp.where(iota_k[None, :] < occ[c], blk, fills[:, None])
+        blk = jnp.where(iota_k[None, :] < occ[c], blk, fills_v[:, None])
         return jax.lax.dynamic_update_slice(out, blk[:, None, :], (0, c, 0))
 
     out = jnp.zeros((ncols, ncell, K), jnp.float32)
-    return jax.lax.fori_loop(0, ncell, copy_cell, out)
+    out = jax.lax.fori_loop(0, ncell, copy_cell, out)
+    return tuple(out[i].reshape(-1) for i in range(ncols))
 
 
-def stage_grouped2d(cols, x, y, nmesh, box, yb, fills, offset=0.0, chunk=2048):
+def stage_grouped2d(cols, nmesh, box, yb, fills, offset=0.0, chunk=2048,
+                    xi=0, yi=1, shift=0.0):
     """Build the (x-cell, y-block)-grouped padded deposit layout ON DEVICE.
 
     This replaces the host-side build_paint_plan2d + numpy-gather staging
@@ -254,26 +265,26 @@ def stage_grouped2d(cols, x, y, nmesh, box, yb, fills, offset=0.0, chunk=2048):
     tsc.py:259-384): one multi-operand sort groups the points, a ~ncell-int
     occupancy download sizes the static capacity K, and a per-cell
     dynamic-slice scan materializes the padded layout. ~100x faster than the
-    host path at 60M points (sort-bound, no per-point host work).
+    host path at 60M points (sort-bound, no per-point host work; two
+    dispatches + one small D2H total).
 
-    Parameters: `cols` — list of (N,) float32 arrays to stage (must include
-    whatever the caller needs; x/y are only used for the key and should also
-    appear in `cols` if wanted back); `fills` — per-column pad value.
-    Returns (list of (ncell*K,) device arrays, K).
+    Parameters: `cols` — list of (N,) float32 arrays to stage; the key
+    coordinates are cols[xi]+shift / cols[yi]+shift; `fills` — per-column
+    pad value. Returns (list of (ncell*K,) device arrays, K).
     """
     cols = tuple(jnp.asarray(c, jnp.float32) for c in cols)
-    x = jnp.asarray(x, jnp.float32)
-    y = jnp.asarray(y, jnp.float32)
     sorted_cols, starts = _stage_sort_by_cell(
-        cols, x, y, int(nmesh), int(yb), float(box), float(offset)
+        cols, int(nmesh), int(yb), float(box), float(offset),
+        xi=int(xi), yi=int(yi), shift=float(shift),
     )
     occ = np.asarray(starts)
     occ = occ[1:] - occ[:-1]  # ~8 KB download; sizes the static capacity
     K = int(np.ceil(max(int(occ.max()), 1) / chunk) * chunk)
     ncell = nmesh * (nmesh // yb)
-    fills = jnp.asarray(np.asarray(fills, np.float32))
-    out = _stage_expand_padded(sorted_cols, starts, fills, K, ncell)
-    return [out[i].reshape(-1) for i in range(len(cols))], K
+    out = _stage_expand_padded(
+        sorted_cols, starts, tuple(float(f) for f in fills), K, ncell
+    )
+    return list(out), K
 
 
 def paint_grouped(grid, xg, yg, zg, wg, box, offset, nmesh, K, chunk=2048, bf16=False):

@@ -191,8 +191,8 @@ def _rows(A, idx):
 
 @partial(jax.jit, static_argnames=('nc',))
 def _stage_cells(x, y, z, lbox, nc):
-    """Sort (inf-padded) points by cell id; return sorted keys/coords, the
-    per-cell occupancy, and each point's rank within its cell."""
+    """Sort (inf-padded) points by cell id; return the sorted coords plus
+    the per-cell run starts and occupancies (all device-resident)."""
     C = nc * nc * nc
     inv = jnp.float32(nc) / lbox
     fin = jnp.isfinite(x)
@@ -203,35 +203,39 @@ def _stage_cells(x, y, z, lbox, nc):
     key = jnp.where(fin, (ci(x) * nc + ci(y)) * nc + ci(z), C)
     key, xs, ys, zs = jax.lax.sort((key, x, y, z), num_keys=1)
     starts = jnp.searchsorted(key, jnp.arange(C + 1, dtype=key.dtype))
+    starts = starts.astype(jnp.int32)
     occ = starts[1:] - starts[:-1]
-    i = jnp.arange(key.shape[0], dtype=jnp.int32)
-    newrun = jnp.where(
-        jnp.concatenate([jnp.ones(1, bool), key[1:] != key[:-1]]), i, 0
-    )
-    rank = i - jax.lax.cummax(newrun)
-    return key, xs, ys, zs, occ, rank
+    return xs, ys, zs, starts, occ
 
 
-@partial(jax.jit, static_argnames=('S',))
-def _stage_layout(key, xs, ys, zs, rank, slotbase, paddest, S):
-    """Scatter-free layout build: each point's destination slot is
-    slotbase[cell] + rank; padding slots arrive as an explicit index list with
-    inf coordinates; a single sort by destination materializes the padded
-    class layouts as one flat (S,) array per coordinate."""
-    C = slotbase.shape[0]
-    i = jnp.arange(key.shape[0], dtype=jnp.int32)
-    dest = jnp.where(key < C, slotbase[jnp.minimum(key, C - 1)] + rank, S + i)
-    npad = paddest.shape[0]
-    inf = jnp.full(npad, jnp.inf, xs.dtype)
-    dest = jnp.concatenate([dest, paddest])
-    _, lx, ly, lz = jax.lax.sort(
-        (dest,
-         jnp.concatenate([xs, inf]),
-         jnp.concatenate([ys, inf]),
-         jnp.concatenate([zs, inf])),
-        num_keys=1,
-    )
-    return lx[:S], ly[:S], lz[:S]
+@partial(jax.jit, static_argnames=('cap', 'Cpad', 'w'))
+def _class_layout(xs, ys, zs, starts, occ, cells, cap, Cpad, w):
+    """Packed (Cpad, w) x|y|z layout for one occupancy class, built directly
+    from the cell-sorted coordinates: each cell's run is one dynamic-slice
+    copy (contiguous after the sort), rows past the cell's occupancy — and
+    whole rows past the live cell count (cells[r] < 0) — are inf. w pads
+    3*cap up to the 64-lane row-gather fast path. One dispatch per class;
+    no slot-destination list is ever materialized on the host."""
+    packed = jnp.stack([xs, ys, zs])  # (3, npad)
+    n_ext = packed.shape[1]
+    ext = jnp.concatenate([packed, jnp.full((3, cap), jnp.inf, jnp.float32)], 1)
+    iota_c = jnp.arange(cap, dtype=jnp.int32)
+
+    def row(r, out):
+        cell = cells[r]
+        live = cell >= 0
+        s = jnp.where(live, starts[jnp.maximum(cell, 0)], n_ext)
+        blk = jax.lax.dynamic_slice(ext, (0, s), (3, cap))
+        blk = jnp.where(
+            iota_c[None, :] < jnp.where(live, occ[jnp.maximum(cell, 0)], 0),
+            blk, jnp.inf,
+        )
+        return jax.lax.dynamic_update_slice(
+            out, blk.reshape(1, 3 * cap), (r, 0)
+        )
+
+    out = jnp.full((Cpad, w), jnp.inf, jnp.float32)
+    return jax.lax.fori_loop(0, Cpad, row, out)
 
 
 _OFFSETS = [(di, dj, dk) for di in (-1, 0, 1) for dj in (-1, 0, 1)
@@ -351,10 +355,10 @@ class _SideStage:
                 coords.append(jnp.asarray(a))
         self.n = n
         self.nc = nc
-        key, xs, ys, zs, occ_d, rank = _stage_cells(
+        xs, ys, zs, starts_d, occ_d = _stage_cells(
             *coords, jnp.float32(lbox), nc
         )
-        occ = np.asarray(occ_d)
+        occ = np.asarray(occ_d)  # the one cold-stage D2H (~C ints)
         self.occ = occ
         C = nc**3
 
@@ -374,54 +378,29 @@ class _SideStage:
         classid = np.searchsorted(keep, classid)
         self.caps = caps
 
-        # per-class cell lists, class-local rows, flat layout offsets
-        slotbase = np.zeros(C, np.int64)
+        # per-class cell lists + the packed class/row table
         tbl = np.full(C, 0xFF << 24, np.int64)  # empty cells: class 0xFF
         self.class_cells = []
         self.cpads = []
-        offsets = []
-        off = 0
-        pad_lo, pad_len = [], []
+        self.layouts = []
         for a, cap in enumerate(caps):
             cells = np.flatnonzero(live & (classid == a))
             Ca = len(cells)
             Cpad = _pow2ceil(Ca + 1)
             self.class_cells.append(cells)
             self.cpads.append(Cpad)
-            offsets.append(off)
-            slotbase[cells] = off + np.arange(Ca, dtype=np.int64) * cap
             tbl[cells] = (a << 24) | np.arange(Ca, dtype=np.int64)
-            # pad slots: tail of each occupied cell + whole trailing pad rows
-            pad_lo.append(slotbase[cells] + occ[cells])
-            pad_len.append(cap - occ[cells])
-            pad_lo.append(np.array([off + Ca * cap], np.int64))
-            pad_len.append(np.array([(Cpad - Ca) * cap], np.int64))
-            off += Cpad * cap
-        S = off
-        pad_lo = np.concatenate(pad_lo)
-        pad_len = np.concatenate(pad_len)
-        tot = int(pad_len.sum())
-        within = np.arange(tot, dtype=np.int64) - np.repeat(
-            np.cumsum(pad_len) - pad_len, pad_len
-        )
-        paddest = (np.repeat(pad_lo, pad_len) + within).astype(np.int32)
-        assert tot == S - n, (tot, S, n)
-
-        lx, ly, lz = _stage_layout(
-            key, xs, ys, zs, rank,
-            jnp.asarray(slotbase.astype(np.int32)), jnp.asarray(paddest), S,
-        )
-        # per-class (Cpad, >=max(3*cap, 64)) packed layouts; narrow rows are
-        # padded with inf columns so row gathers stay on the wide fast path
-        self.layouts = []
-        for a, cap in enumerate(caps):
-            o, Cpad = offsets[a], self.cpads[a]
-            sl = slice(o, o + Cpad * cap)
-            pack = [lx[sl].reshape(Cpad, cap), ly[sl].reshape(Cpad, cap),
-                    lz[sl].reshape(Cpad, cap)]
-            if 3 * cap < 64:
-                pack.append(jnp.full((Cpad, 64 - 3 * cap), jnp.inf, jnp.float32))
-            self.layouts.append(jnp.concatenate(pack, axis=1))
+            # (Cpad, >= max(3*cap, 64)) packed x|y|z rows built ON DEVICE
+            # from the sorted runs (one dispatch per class; narrow rows get
+            # inf columns so row gathers stay on the wide fast path)
+            cells_pad = np.full(Cpad, -1, np.int32)
+            cells_pad[:Ca] = cells
+            self.layouts.append(
+                _class_layout(
+                    xs, ys, zs, starts_d, occ_d, jnp.asarray(cells_pad),
+                    cap, Cpad, max(3 * cap, 64),
+                )
+            )
         self.tbl = jnp.asarray(tbl.astype(np.int32))
         self.classid3 = np.where(live, classid, 255).reshape(nc, nc, nc)
 

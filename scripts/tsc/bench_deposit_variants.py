@@ -42,8 +42,7 @@ def main(n=50_000_000, nmesh=256, B=32, chunk=32768, iters=3):
     cols.append(jnp.ones(n, jnp.float32))
     jax.device_get(cols[0][-1:])
     (xg, yg, zg, wg), K2 = stage_grouped2d(
-        cols, cols[0], cols[1], nmesh, lbox, B, [0.0, 0.0, 0.0, 0.0],
-        chunk=chunk,
+        cols, nmesh, lbox, B, [0.0, 0.0, 0.0, 0.0], chunk=chunk
     )
     nyb = nmesh // B
     ncell = nmesh * nyb
