@@ -503,6 +503,59 @@ def hod_pk_fused_multi(
     return spectra, n_gal
 
 
+def make_example_inputs_device(n_halo, n_part, lbox, seed=0):
+    """Device-side twin of :func:`make_example_inputs`: the same synthetic
+    catalog distributions drawn with jax.random directly in HBM. For
+    benchmarking on hosts whose device link would otherwise dominate (the
+    dev tunnel transfers ~GBs at single-digit MB/s on bad days); the real
+    pipeline stages real data, the bench only needs the right shapes and
+    statistics."""
+    import jax
+
+    @partial(jax.jit, static_argnames=('n_halo', 'n_part', 'lbox'))
+    def gen(key, n_halo, n_part, lbox):
+        ks = jax.random.split(key, 12)
+        half = jnp.float32(lbox / 2)
+        u = jax.random.uniform(ks[0], (n_halo,), jnp.float32)
+        mass = 10 ** (11 + 4 * u**3)
+        hx, hy, hz = (
+            jax.random.uniform(k, (n_halo,), jnp.float32) * lbox - half
+            for k in ks[1:4]
+        )
+        hvz = jax.random.normal(ks[4], (n_halo,), jnp.float32) * 300
+        halo = {
+            'x': hx, 'y': hy, 'z': hz, 'vz': hvz, 'mass': mass,
+            'multis': jnp.ones(n_halo, jnp.float32),
+            'randoms': jax.random.uniform(ks[5], (n_halo,), jnp.float32),
+            'vdevz': jax.random.normal(ks[6], (n_halo,), jnp.float32) * 100,
+            'deltac': jnp.zeros(n_halo, jnp.float32),
+            'fenv': jnp.zeros(n_halo, jnp.float32),
+        }
+        hidx = jax.random.randint(ks[7], (n_part,), 0, n_halo)
+        jitter = jax.random.normal(ks[8], (3, n_part), jnp.float32) * 0.5
+        part = {
+            'x': hx[hidx] + jitter[0],
+            'y': hy[hidx] + jitter[1],
+            'z': hz[hidx] + jitter[2],
+            'vz': jax.random.normal(ks[9], (n_part,), jnp.float32) * 300,
+            'hvelz': hvz[hidx],
+            'hmass': mass[hidx],
+            'weights': jnp.full(n_part, 20.0, jnp.float32),
+            'randoms': jax.random.uniform(ks[10], (n_part,), jnp.float32),
+            'deltac': jnp.zeros(n_part, jnp.float32),
+            'fenv': jnp.zeros(n_part, jnp.float32),
+        }
+        return halo, part
+
+    halo, part = gen(jax.random.PRNGKey(seed), int(n_halo), int(n_part), float(lbox))
+    params = {
+        'logM_cut': 12.8, 'logM1': 14.0, 'sigma': 0.3, 'alpha': 1.0,
+        'kappa': 0.4, 'alpha_c': 0.3, 'alpha_s': 1.0, 'ic': 1.0,
+        'Acent': 0.0, 'Asat': 0.0, 'Bcent': 0.0, 'Bsat': 0.0,
+    }
+    return halo, part, params
+
+
 def make_example_inputs(n_halo, n_part, lbox, seed=0):
     """Synthetic AbacusSummit-like halo/particle SoA arrays for benchmarking."""
     import numpy as np

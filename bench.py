@@ -42,6 +42,7 @@ def main():
         hod_pk_fused_yb,
         make_bin_plan_arrays,
         make_example_inputs,
+        make_example_inputs_device,
     )
     from abacusutils_tpu.ops.power import get_W_compensated
 
@@ -50,25 +51,37 @@ def main():
     velz2kms = 100.0
 
     import sys
+    host_inputs = '--host-inputs' in sys.argv
     t0 = time.perf_counter()
-    halo, part, params = make_example_inputs(N_HALO, N_PART, LBOX, seed=42)
-    print('inputs', time.perf_counter()-t0, file=sys.stderr, flush=True)
-
-    # upload the flat SoA columns once (tunnel-bandwidth bound). On this
-    # platform device_put/block_until_ready return before the transfer
-    # lands, so force completion with a one-element D2H per array — without
-    # this the hidden upload tail would be misattributed to the next timer.
-    t0 = time.perf_counter()
-    halo = {k: jax.device_put(np.asarray(v, np.float32), dev) for k, v in halo.items()}
-    part = {k: jax.device_put(np.asarray(v, np.float32), dev) for k, v in part.items()}
-    # one scalar reduction over every array -> a single D2H round trip
-    # (per-array gets would each pay the tunnel latency)
-    sync = jax.jit(
-        lambda h, p: sum(v[-1] for v in h.values()) + sum(v[-1] for v in p.values())
-    )
-    float(sync(halo, part))
-    t_upload = time.perf_counter() - t0
-    print('device_put', t_upload, file=sys.stderr, flush=True)
+    if host_inputs:
+        # host numpy catalog + explicit upload (the r2 bench flow). The dev
+        # tunnel moves the 2.4 GB at anywhere between 5 and 50 MB/s, so the
+        # default path below synthesizes the same catalog on device instead.
+        halo, part, params = make_example_inputs(N_HALO, N_PART, LBOX, seed=42)
+        print('inputs', time.perf_counter()-t0, file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        halo = {k: jax.device_put(np.asarray(v, np.float32), dev)
+                for k, v in halo.items()}
+        part = {k: jax.device_put(np.asarray(v, np.float32), dev)
+                for k, v in part.items()}
+        # one scalar reduction over every array -> a single D2H round trip
+        # (device_put/block_until_ready return before the transfer lands)
+        sync = jax.jit(
+            lambda h, p: sum(v[-1] for v in h.values())
+            + sum(v[-1] for v in p.values())
+        )
+        float(sync(halo, part))
+        t_upload = time.perf_counter() - t0
+        print('device_put', t_upload, file=sys.stderr, flush=True)
+    else:
+        halo, part, params = make_example_inputs_device(
+            N_HALO, N_PART, LBOX, seed=42
+        )
+        jax.block_until_ready(part)
+        float(part['x'][-1])  # force completion
+        t_upload = 0.0
+        print('inputs (on device)', time.perf_counter()-t0,
+              file=sys.stderr, flush=True)
 
     # one-time staging: group by (x-cell, y-block) — both RSD-invariant —
     # ON DEVICE (multi-operand sort + per-cell slice scan; the reference's
@@ -117,6 +130,7 @@ def main():
             'nmesh': NMESH,
             'lbox': LBOX,
             'step_seconds': round(dt, 4),
+            'inputs_mode': 'host+upload' if host_inputs else 'device_synth',
             'staging_upload_seconds': round(t_upload, 1),
             'staging_grouping_seconds': round(t_group, 2),
             'compile_seconds': round(compile_time, 1),
