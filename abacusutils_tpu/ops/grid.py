@@ -247,9 +247,14 @@ def _stage_expand_padded(sorted_cols, starts, fills, K, ncell):
     iota_k = jnp.arange(K, dtype=jnp.int32)
 
     def copy_cell(c, out):
-        blk = jax.lax.dynamic_slice(ext, (0, starts[c]), (ncols, K))
+        # int32-pin the slice indices: under jax_enable_x64 the fori_loop
+        # index and bare int literals weak-promote to int64, and
+        # dynamic_slice requires uniform index dtypes
+        c = c.astype(jnp.int32)
+        z = jnp.int32(0)
+        blk = jax.lax.dynamic_slice(ext, (z, starts[c]), (ncols, K))
         blk = jnp.where(iota_k[None, :] < occ[c], blk, fills_v[:, None])
-        return jax.lax.dynamic_update_slice(out, blk[:, None, :], (0, c, 0))
+        return jax.lax.dynamic_update_slice(out, blk[:, None, :], (z, c, z))
 
     out = jnp.zeros((ncols, ncell, K), jnp.float32)
     out = jax.lax.fori_loop(0, ncell, copy_cell, out)

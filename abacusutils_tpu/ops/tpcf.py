@@ -222,16 +222,21 @@ def _class_layout(xs, ys, zs, starts, occ, cells, cap, Cpad, w):
     iota_c = jnp.arange(cap, dtype=jnp.int32)
 
     def row(r, out):
+        # pin every slice index to int32: fori_loop's carry index and bare
+        # python-int literals weak-promote to int64 when a caller has flipped
+        # jax_enable_x64 on (the HOD tests do), and dynamic_slice requires
+        # uniform index dtypes
+        r = r.astype(jnp.int32)
         cell = cells[r]
         live = cell >= 0
-        s = jnp.where(live, starts[jnp.maximum(cell, 0)], n_ext)
-        blk = jax.lax.dynamic_slice(ext, (0, s), (3, cap))
+        s = jnp.where(live, starts[jnp.maximum(cell, 0)], n_ext).astype(jnp.int32)
+        blk = jax.lax.dynamic_slice(ext, (jnp.int32(0), s), (3, cap))
         blk = jnp.where(
             iota_c[None, :] < jnp.where(live, occ[jnp.maximum(cell, 0)], 0),
             blk, jnp.inf,
         )
         return jax.lax.dynamic_update_slice(
-            out, blk.reshape(1, 3 * cap), (r, 0)
+            out, blk.reshape(1, 3 * cap), (r, jnp.int32(0))
         )
 
     out = jnp.full((Cpad, w), jnp.inf, jnp.float32)
