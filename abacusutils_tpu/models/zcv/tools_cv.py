@@ -403,9 +403,18 @@ class _FlowSetup:
         return window
 
     def apply_window(self, template_poles):
-        """Mode-couple theory multipoles through the window matrix."""
+        """Mode-couple theory multipoles through the window matrix.
+
+        Deliberate deviation (PARITY.md): the window rows are output
+        (ell, k-bin) pairs — `window @ theory` is the binned-estimator
+        expectation (pinned against the defining per-mode sum AND against
+        measured ZA realization multipoles in test_zenbu_native.py). The
+        reference applies the TRANSPOSE of its own matrix
+        (tools_cv.py:704-705), which mis-weights the (2l+1) prefactors on
+        the ell-mixing terms (its predicted l=0 -> l=4 leakage comes out
+        ~9x too small)."""
         window = self.load_window()
-        stacked = np.dot(window.T, np.hstack(template_poles))
+        stacked = np.dot(window, np.hstack(template_poles))
         return stacked.reshape(len(self.poles), -1)
 
     def disconnected_covs(self, **spectra):

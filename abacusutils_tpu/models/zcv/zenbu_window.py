@@ -110,15 +110,23 @@ def periodic_window_function(nmesh, lbox, kout, kin, k2weight=True):
 
 
 def zenbu_spectra(k, z, cfg, kin, pin, pkclass=None, N=2700, jn=15, rsd=True, nmax=6, ngauss=6):
-    """ZeNBu LPT template spectra; requires the optional ZeNBu package."""
+    """ZeNBu LPT template spectra (reference zenbu_window.py:184-224).
+
+    If the optional ZeNBu package is installed it is used verbatim;
+    otherwise the native ZA engine (`zenbu_native`, exact Gaussian
+    generating-function moments, realization-validated) computes the same
+    basis-spectrum table — template generation no longer requires any
+    external theory package."""
     try:
         from ZeNBu.zenbu import Zenbu
         from ZeNBu.zenbu_rsd import Zenbu_RSD
-    except ImportError as e:
-        raise ImportError(
-            'ZeNBu is not available in this environment; supply precomputed '
-            'zenbu_pk*_ij_lpt*.npz template files instead.'
-        ) from e
+    except ImportError:
+        from .zenbu_native import zenbu_spectra_native
+
+        return zenbu_spectra_native(
+            k, z, cfg, kin, pin, rsd=rsd,
+            nmax=max(nmax, 8), ngauss=max(ngauss, 8),
+        )
     from scipy.interpolate import interp1d
 
     cutoff = float(cfg['surrogate_gaussian_cutoff'])

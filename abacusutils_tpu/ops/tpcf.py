@@ -208,7 +208,6 @@ def _stage_cells(x, y, z, lbox, nc):
     return xs, ys, zs, starts, occ
 
 
-@partial(jax.jit, static_argnames=('cap', 'Cpad', 'w'))
 def _class_layout(xs, ys, zs, starts, occ, cells, cap, Cpad, w):
     """Packed (Cpad, w) x|y|z layout for one occupancy class, built directly
     from the cell-sorted coordinates: each cell's run is one dynamic-slice
@@ -241,6 +240,17 @@ def _class_layout(xs, ys, zs, starts, occ, cells, cap, Cpad, w):
 
     out = jnp.full((Cpad, w), jnp.inf, jnp.float32)
     return jax.lax.fori_loop(0, Cpad, row, out)
+
+
+@partial(jax.jit, static_argnames=('shapes',))
+def _class_layouts_all(xs, ys, zs, starts, occ, cells_tuple, shapes):
+    """All occupancy-class layouts in ONE dispatch (shapes: static tuple of
+    (cap, Cpad, w)). A cold stage previously paid one device round trip per
+    class — ~100-200 ms apiece over a remote-compile tunnel."""
+    return tuple(
+        _class_layout(xs, ys, zs, starts, occ, cells, cap, Cpad, w)
+        for cells, (cap, Cpad, w) in zip(cells_tuple, shapes)
+    )
 
 
 _OFFSETS = [(di, dj, dk) for di in (-1, 0, 1) for dj in (-1, 0, 1)
@@ -387,7 +397,7 @@ class _SideStage:
         tbl = np.full(C, 0xFF << 24, np.int64)  # empty cells: class 0xFF
         self.class_cells = []
         self.cpads = []
-        self.layouts = []
+        cells_tuple, shapes = [], []
         for a, cap in enumerate(caps):
             cells = np.flatnonzero(live & (classid == a))
             Ca = len(cells)
@@ -395,17 +405,16 @@ class _SideStage:
             self.class_cells.append(cells)
             self.cpads.append(Cpad)
             tbl[cells] = (a << 24) | np.arange(Ca, dtype=np.int64)
-            # (Cpad, >= max(3*cap, 64)) packed x|y|z rows built ON DEVICE
-            # from the sorted runs (one dispatch per class; narrow rows get
-            # inf columns so row gathers stay on the wide fast path)
             cells_pad = np.full(Cpad, -1, np.int32)
             cells_pad[:Ca] = cells
-            self.layouts.append(
-                _class_layout(
-                    xs, ys, zs, starts_d, occ_d, jnp.asarray(cells_pad),
-                    cap, Cpad, max(3 * cap, 64),
-                )
-            )
+            cells_tuple.append(jnp.asarray(cells_pad))
+            shapes.append((cap, Cpad, max(3 * cap, 64)))
+        # (Cpad, >= max(3*cap, 64)) packed x|y|z rows built ON DEVICE from
+        # the sorted runs, every class in a single dispatch; narrow rows get
+        # inf columns so row gathers stay on the wide fast path
+        self.layouts = list(_class_layouts_all(
+            xs, ys, zs, starts_d, occ_d, tuple(cells_tuple), tuple(shapes)
+        ))
         self.tbl = jnp.asarray(tbl.astype(np.int32))
         self.classid3 = np.where(live, classid, 255).reshape(nc, nc, nc)
 
@@ -509,8 +518,13 @@ def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
             off += P
             continue
         capA, capB = sideA.caps[a], sideB.caps[b]
-        # Pc * capA * capB <= 2^22 < 2^24 keeps every per-block histogram
-        # bin exactly representable in the f32 MXU accumulation
+        # Pc * capA * capB < 2^24 keeps every per-block histogram bin
+        # exactly representable in the f32 MXU accumulation (Pc collapses
+        # to 1 for capacity products past 2^21; products >= 2^24 — cells
+        # with >= 4096 points — would break exactness, so refuse loudly)
+        assert capA * capB < (1 << 24), (
+            f'occupancy class capacities {capA}x{capB} exceed the exact-f32 '
+            f'histogram bound; use a finer cell grid (larger nc)')
         Pc = max(1, 2**21 // (capA * capB))
         Ppad = -(-P // Pc) * Pc
         ja = jnp.pad(ia[off:off + P], (0, Ppad - P),
