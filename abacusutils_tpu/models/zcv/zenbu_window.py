@@ -24,7 +24,11 @@ __all__ = ['periodic_window_function', 'zenbu_spectra', 'main', 'meshgrid']
 
 def periodic_window_function(nmesh, lbox, kout, kin, k2weight=True):
     """Matrix convolving a finely-evaluated theory P_ell with the periodic
-    box's mode-coupling: np.dot(window.T, pell_th) gives the convolved theory.
+    box's mode-coupling: `window @ pell_th` gives the binned-estimator
+    expectation (rows are output (ell, k-bin) pairs — pinned against the
+    defining per-mode sum in test_zcv.py and against measured ZA realization
+    multipoles in test_zenbu_native.py; the reference transposes its own
+    matrix at the run_zcv call site, see PARITY.md).
 
     Returns (window, keff).
     """

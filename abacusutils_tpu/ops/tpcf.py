@@ -205,52 +205,40 @@ def _stage_cells(x, y, z, lbox, nc):
     starts = jnp.searchsorted(key, jnp.arange(C + 1, dtype=key.dtype))
     starts = starts.astype(jnp.int32)
     occ = starts[1:] - starts[:-1]
-    return xs, ys, zs, starts, occ
+    return key.astype(jnp.int32), xs, ys, zs, starts, occ
 
 
-def _class_layout(xs, ys, zs, starts, occ, cells, cap, Cpad, w):
-    """Packed (Cpad, w) x|y|z layout for one occupancy class, built directly
-    from the cell-sorted coordinates: each cell's run is one dynamic-slice
-    copy (contiguous after the sort), rows past the cell's occupancy — and
-    whole rows past the live cell count (cells[r] < 0) — are inf. w pads
-    3*cap up to the 64-lane row-gather fast path. One dispatch per class;
-    no slot-destination list is ever materialized on the host."""
-    packed = jnp.stack([xs, ys, zs])  # (3, npad)
-    n_ext = packed.shape[1]
-    ext = jnp.concatenate([packed, jnp.full((3, cap), jnp.inf, jnp.float32)], 1)
-    iota_c = jnp.arange(cap, dtype=jnp.int32)
-
-    def row(r, out):
-        # pin every slice index to int32: fori_loop's carry index and bare
-        # python-int literals weak-promote to int64 when a caller has flipped
-        # jax_enable_x64 on (the HOD tests do), and dynamic_slice requires
-        # uniform index dtypes
-        r = r.astype(jnp.int32)
-        cell = cells[r]
-        live = cell >= 0
-        s = jnp.where(live, starts[jnp.maximum(cell, 0)], n_ext).astype(jnp.int32)
-        blk = jax.lax.dynamic_slice(ext, (jnp.int32(0), s), (3, cap))
-        blk = jnp.where(
-            iota_c[None, :] < jnp.where(live, occ[jnp.maximum(cell, 0)], 0),
-            blk, jnp.inf,
+@partial(jax.jit, static_argnames=('S', 'shapes'))
+def _class_layouts_scatter(key, xs, ys, zs, starts, slotbase, S, shapes):
+    """All class layouts via ONE unique-index scatter instead of per-row
+    dynamic-slice loops: each point's destination slot is
+    slotbase[cell] + rank-within-cell (ranks fall out of the cell sort),
+    pad slots simply keep their inf initialization. A 4M-point unique
+    scatter runs in ~40 ms on TPU — the serial-scatter taboo is for
+    billion-update deposits, not permutations. One dispatch, fully
+    parallel, no per-class fori_loop."""
+    C = slotbase.shape[0]
+    i = jnp.arange(key.shape[0], dtype=jnp.int32)
+    safe = jnp.minimum(key, C - 1)
+    rank = i - starts[safe]
+    dest = jnp.where(key < C, slotbase[safe] + rank, S)   # S == dropped
+    flats = []
+    for col in (xs, ys, zs):
+        base = jnp.full((S,), jnp.inf, jnp.float32)
+        flats.append(base.at[dest].set(col, mode='drop', unique_indices=True))
+    out, off = [], 0
+    for cap, Cpad, w in shapes:
+        row = jnp.concatenate(
+            [f[off:off + Cpad * cap].reshape(Cpad, cap) for f in flats], axis=1
         )
-        return jax.lax.dynamic_update_slice(
-            out, blk.reshape(1, 3 * cap), (r, jnp.int32(0))
-        )
-
-    out = jnp.full((Cpad, w), jnp.inf, jnp.float32)
-    return jax.lax.fori_loop(0, Cpad, row, out)
-
-
-@partial(jax.jit, static_argnames=('shapes',))
-def _class_layouts_all(xs, ys, zs, starts, occ, cells_tuple, shapes):
-    """All occupancy-class layouts in ONE dispatch (shapes: static tuple of
-    (cap, Cpad, w)). A cold stage previously paid one device round trip per
-    class — ~100-200 ms apiece over a remote-compile tunnel."""
-    return tuple(
-        _class_layout(xs, ys, zs, starts, occ, cells, cap, Cpad, w)
-        for cells, (cap, Cpad, w) in zip(cells_tuple, shapes)
-    )
+        if 3 * cap < w:
+            row = jnp.concatenate(
+                [row, jnp.full((Cpad, w - 3 * cap), jnp.inf, jnp.float32)],
+                axis=1,
+            )
+        out.append(row)
+        off += Cpad * cap
+    return tuple(out)
 
 
 _OFFSETS = [(di, dj, dk) for di in (-1, 0, 1) for dj in (-1, 0, 1)
@@ -370,7 +358,7 @@ class _SideStage:
                 coords.append(jnp.asarray(a))
         self.n = n
         self.nc = nc
-        xs, ys, zs, starts_d, occ_d = _stage_cells(
+        key_d, xs, ys, zs, starts_d, occ_d = _stage_cells(
             *coords, jnp.float32(lbox), nc
         )
         occ = np.asarray(occ_d)  # the one cold-stage D2H (~C ints)
@@ -393,11 +381,14 @@ class _SideStage:
         classid = np.searchsorted(keep, classid)
         self.caps = caps
 
-        # per-class cell lists + the packed class/row table
+        # per-class cell lists, the packed class/row table, and each cell's
+        # flat destination base (class-ordered, class-local row * cap)
         tbl = np.full(C, 0xFF << 24, np.int64)  # empty cells: class 0xFF
         self.class_cells = []
         self.cpads = []
-        cells_tuple, shapes = [], []
+        slotbase = np.zeros(C, np.int32)
+        shapes = []
+        off = 0
         for a, cap in enumerate(caps):
             cells = np.flatnonzero(live & (classid == a))
             Ca = len(cells)
@@ -405,15 +396,16 @@ class _SideStage:
             self.class_cells.append(cells)
             self.cpads.append(Cpad)
             tbl[cells] = (a << 24) | np.arange(Ca, dtype=np.int64)
-            cells_pad = np.full(Cpad, -1, np.int32)
-            cells_pad[:Ca] = cells
-            cells_tuple.append(jnp.asarray(cells_pad))
+            slotbase[cells] = off + np.arange(Ca, dtype=np.int64) * cap
             shapes.append((cap, Cpad, max(3 * cap, 64)))
-        # (Cpad, >= max(3*cap, 64)) packed x|y|z rows built ON DEVICE from
-        # the sorted runs, every class in a single dispatch; narrow rows get
-        # inf columns so row gathers stay on the wide fast path
-        self.layouts = list(_class_layouts_all(
-            xs, ys, zs, starts_d, occ_d, tuple(cells_tuple), tuple(shapes)
+            off += Cpad * cap
+        # (Cpad, >= max(3*cap, 64)) packed x|y|z rows built ON DEVICE by one
+        # unique-index scatter over all classes (single dispatch, parallel);
+        # narrow rows get inf columns so row gathers stay on the wide fast
+        # path
+        self.layouts = list(_class_layouts_scatter(
+            key_d, xs, ys, zs, starts_d, jnp.asarray(slotbase), off,
+            tuple(shapes),
         ))
         self.tbl = jnp.asarray(tbl.astype(np.int32))
         self.classid3 = np.where(live, classid, 255).reshape(nc, nc, nc)

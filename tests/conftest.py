@@ -19,6 +19,12 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
+# Persistent compilation cache: the suite is compile-bound (tiny inputs, many
+# jitted programs); warm reruns skip straight to execution.
+from abacusutils_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
+
 
 # The reference test-fixture tree (Mini_N64_L32 sim, golden files). Read-only.
 TESTDATA = Path(os.environ.get('ABACUSUTILS_TPU_TESTDATA', '/root/reference/tests'))
