@@ -2,3 +2,8 @@
 
 from abacusutils_tpu.models.zcv.zenbu_window import *  # noqa: F401,F403
 from abacusutils_tpu.models.hod.utils import ArgParseFormatter  # noqa: F401,E402
+
+if __name__ == '__main__':
+    from abacusutils_tpu.models.zcv.zenbu_window import _cli
+
+    _cli()

@@ -195,3 +195,30 @@ def main(
     if not save_3D_power:
         compress_asdf(str(power_ij_fn), pk_ij_dict, header)
     return pk_ij_dict
+
+
+def _cli(argv=None):
+    """Module CLI (reference advect_fields.py:389-414; --want_rsd runs both
+    the rsd and non-rsd advection passes)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--path2config', help='Path to the config file',
+                        default='config/abacus_hod.yaml')
+    parser.add_argument('--want_rsd', action='store_true',
+                        help='Include RSD effects?')
+    parser.add_argument('--alt_simname', help='Alternative simulation name')
+    parser.add_argument('--save_3D_power', action='store_true',
+                        help='Record full 3D power spectrum')
+    parser.add_argument('--only_requested_fields', action='store_true',
+                        help='Save only the fields requested in the yaml')
+    args = vars(parser.parse_args(argv))
+    if args.pop('want_rsd'):
+        for want_rsd in (True, False):
+            main(want_rsd=want_rsd, **args)
+    else:
+        main(want_rsd=False, **args)
+
+
+if __name__ == '__main__':
+    _cli()

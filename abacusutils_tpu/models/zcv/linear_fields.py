@@ -90,3 +90,20 @@ def main(path2config, alt_simname=None, save_3D_power=False):
 
     compress_asdf(str(power_lin_fn), pk_lin_dict, header)
     return pk_lin_dict
+
+
+def _cli(argv=None):
+    """Module CLI (reference linear_fields.py:188-201)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--path2config', help='Path to the config file',
+                        default='config/abacus_hod.yaml')
+    parser.add_argument('--alt_simname', help='Alternative simulation name')
+    parser.add_argument('--save_3D_power', action='store_true',
+                        help='Record full 3D power spectrum')
+    main(**vars(parser.parse_args(argv)))
+
+
+if __name__ == '__main__':
+    _cli()

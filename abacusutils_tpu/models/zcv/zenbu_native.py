@@ -540,6 +540,22 @@ def za_basis_spectra(kout, klin, plin, f=0.0, cutoff=None, poles=(0, 2, 4),
     return out
 
 
+_QF_CACHE = {}
+
+
+def _cached_qfuncs(klin, plin, cutoff):
+    """One radial-transform build per (P_lin, cutoff): rsd and non-rsd
+    template passes (and repeated CLI invocations in one process) share it."""
+    import hashlib
+
+    key = (hashlib.md5(np.ascontiguousarray(klin)).hexdigest(),
+           hashlib.md5(np.ascontiguousarray(plin)).hexdigest(), cutoff)
+    if key not in _QF_CACHE:
+        _QF_CACHE.clear()   # hold at most one (the grids are ~100 MB)
+        _QF_CACHE[key] = ZAQFuncs(klin, plin, cutoff=cutoff)
+    return _QF_CACHE[key]
+
+
 def zenbu_spectra_native(k, z, cfg, kin, pin, rsd=True, nmax=8, ngauss=8,
                          nj=18):
     """Drop-in ZA replacement for the reference's `zenbu_spectra`
@@ -551,14 +567,16 @@ def zenbu_spectra_native(k, z, cfg, kin, pin, rsd=True, nmax=8, ngauss=8,
     D, f = growth_factors(cfg['sim_name'], z, want_rsd=rsd)
     pin = np.asarray(pin, np.float64) * D**2
     k = np.asarray(k, np.float64)
+    qf = _cached_qfuncs(np.asarray(kin, np.float64), pin, cutoff)
     if rsd:
         tab = za_basis_spectra(k, kin, pin, f=f, cutoff=cutoff,
                                poles=(0, 2, 4), ngauss=ngauss, nmax=nmax,
-                               nj=nj)
+                               nj=nj, qf=qf)
         out = np.zeros((11,) + tab.shape[1:])
         out[:10] = tab
     else:
-        tab = za_basis_spectra(k, kin, pin, f=0.0, cutoff=cutoff, nj=nj)
+        tab = za_basis_spectra(k, kin, pin, f=0.0, cutoff=cutoff, nj=nj,
+                               qf=qf)
         out = np.zeros((11, tab.shape[-1]))
         out[:10] = tab
     return out, None

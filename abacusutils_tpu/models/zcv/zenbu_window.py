@@ -4,9 +4,10 @@ The window function (reference zenbu_window.py:49-181, a Numba triple loop
 over all modes) is computed here with vectorized numpy bincounts over the
 rfft mode grid — same output, no per-mode Python.
 
-ZeNBu/velocileptors are optional external theory packages; if unavailable,
-`zenbu_spectra` raises ImportError and precomputed template `.npz` files
-must be supplied (which is how the reference test fixtures work too).
+ZeNBu/velocileptors are optional external packages: if installed,
+`zenbu_spectra` uses them verbatim; otherwise the native ZA engine
+(`zenbu_native`) computes the same template table, so `.npz` template
+generation works without any external theory dependency.
 """
 
 import os
@@ -154,8 +155,9 @@ def zenbu_spectra(k, z, cfg, kin, pin, pkclass=None, N=2700, jn=15, rsd=True, nm
 
 
 def main(path2config, alt_simname=None, want_xi=False):
-    """Save the window matrix (and, with ZeNBu installed, the LPT templates)
-    as npz files (reference zenbu_window.main :305-478)."""
+    """Save the window matrix and the ZA LPT templates as npz files
+    (reference zenbu_window.main :305-478; templates come from the native
+    engine when the ZeNBu package is absent)."""
     config = yaml.safe_load(open(path2config))
     zcv_dir = config['zcv_params']['zcv_dir']
     nmesh = config['zcv_params']['nmesh']
@@ -229,3 +231,20 @@ def meshgrid(x, y, z):
     yy[:] = y[None, : x.size, None]
     zz[:] = z[None, None, :]
     return xx, yy, zz
+
+
+def _cli(argv=None):
+    """Module CLI (reference zenbu_window.py:465-479)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--path2config', help='Path to the config file',
+                        default='config/abacus_hod.yaml')
+    parser.add_argument('--alt_simname', help='Alternative simulation name')
+    parser.add_argument('--want_xi', action='store_true',
+                        help='Set up parameters for Xi computation')
+    main(**vars(parser.parse_args(argv)))
+
+
+if __name__ == '__main__':
+    _cli()
