@@ -464,43 +464,43 @@ def _build_loaders(convert_units, header, passthrough=False):
     # int16 radius ratios scaled by r100
     L.append(
         (
-            re.compile(r'(?:r\d{1,2}|rvcirc_max)(?P<com>_(?:L2)?com)'),
+            re.compile(r'(?:r\d{1,2}|rvcirc_max)(?P<suf>_(?:L2)?com)'),
             lambda m, raw, halos: raw[m[0] + '_i16']
-            * raw['r100' + m['com']]
+            * raw['r100' + m['suf']]
             / INT16SCALE
             * box,
         )
     )
 
     def _sigmav_loader(m, raw, halos):
-        stem = m['stem'].replace('Maj', 'Max')
+        stem = m['kind'].replace('Maj', 'Max')
         return (
-            raw[stem + '_to_sigmav3d' + m['com'] + '_i16']
-            * raw['sigmav3d' + m['com']]
+            raw[stem + '_to_sigmav3d' + m['suf'] + '_i16']
+            * raw['sigmav3d' + m['suf']]
             / INT16SCALE
             * zspace_to_kms
         )
 
     L.append(
-        (re.compile(r'(?P<stem>sigmav(?:Min|Maj|rad|tan))(?P<com>_(?:L2)?com)'), _sigmav_loader)
+        (re.compile(r'(?P<kind>sigmav(?:Min|Maj|rad|tan))(?P<suf>_(?:L2)?com)'), _sigmav_loader)
     )
 
     L.append(
         (
-            re.compile(r'sigmavMid(?P<com>_(?:L2)?com)'),
+            re.compile(r'sigmavMid(?P<suf>_(?:L2)?com)'),
             lambda m, raw, halos: np.sqrt(
-                halos['sigmav3d' + m['com']] ** 2
-                - halos['sigmavMaj' + m['com']] ** 2
-                - halos['sigmavMin' + m['com']] ** 2
+                halos['sigmav3d' + m['suf']] ** 2
+                - halos['sigmavMaj' + m['suf']] ** 2
+                - halos['sigmavMin' + m['suf']] ** 2
             ),
         )
     )
 
     L.append(
         (
-            re.compile(r'sigmar(?P<com>_(?:L2)?com)'),
+            re.compile(r'sigmar(?P<suf>_(?:L2)?com)'),
             lambda m, raw, halos: raw[m[0] + '_i16']
-            * np.reshape(raw['r100' + m['com']], (-1, 1))
+            * np.reshape(raw['r100' + m['suf']], (-1, 1))
             / INT16SCALE
             * box,
         )
@@ -508,14 +508,14 @@ def _build_loaders(convert_units, header, passthrough=False):
 
     L.append(
         (
-            re.compile(r'sigman(?P<com>_(?:L2)?com)'),
+            re.compile(r'sigman(?P<suf>_(?:L2)?com)'),
             lambda m, raw, halos: raw[m[0] + '_i16'] / INT16SCALE,
         )
     )
 
     L.append(
         (
-            re.compile(r'(x|r100)(?P<com>_(?:L2)?com)'),
+            re.compile(r'(x|r100)(?P<suf>_(?:L2)?com)'),
             lambda m, raw, halos: raw[m[0]] * box,
         )
     )
@@ -523,7 +523,7 @@ def _build_loaders(convert_units, header, passthrough=False):
     L.append(
         (
             re.compile(
-                r'(v|sigmav3d|meanSpeed|sigmav3d_r50|meanSpeed_r50|vcirc_max)(?P<com>_(?:L2)?com)'
+                r'(v|sigmav3d|meanSpeed|sigmav3d_r50|meanSpeed_r50|vcirc_max)(?P<suf>_(?:L2)?com)'
             ),
             lambda m, raw, halos: raw[m[0]] * zspace_to_kms,
         )
@@ -559,33 +559,30 @@ def _build_loaders(convert_units, header, passthrough=False):
     # halo light cone fields
     L.append(
         (
-            re.compile(r'index_halo|pos_avg|vel_avg|redshift_interp|N_interp'),
+            re.compile(r'N_interp|index_halo|pos_avg|vel_avg|redshift_interp'),
             lambda m, raw, halos: raw[m[0]],
         )
     )
     L.append((re.compile(r'origin'), lambda m, raw, halos: raw[m[0]] % 3))
 
     def lc_interp_loader(m, raw, halos):
+        # halos with a valid time-averaged position use it; the rest fall
+        # back to the interpolated value
+        have_avg = np.any(np.atleast_2d(raw['pos_avg']), axis=1)[:, None]
         cols = {}
-        pa = np.atleast_2d(raw['pos_avg'])
-        avg_avail = np.any(pa, axis=1)
-        if m[0] == 'pos_interp' or 'pos_interp' in halos.colnames:
-            cols['pos_interp'] = np.where(
-                avg_avail[:, None], raw['pos_avg'], raw['pos_interp']
-            )
-        if m[0] == 'vel_interp' or 'vel_interp' in halos.colnames:
-            cols['vel_interp'] = np.where(
-                avg_avail[:, None], raw['vel_avg'], raw['vel_interp']
-            )
+        for pv in ('pos', 'vel'):
+            name = f'{pv}_interp'
+            if m[0] == name or name in halos.colnames:
+                cols[name] = np.where(have_avg, raw[f'{pv}_avg'], raw[name])
         return cols
 
     L.append((re.compile(r'(?P<pv>pos|vel)_interp'), lc_interp_loader))
 
     def eigvecs_loader(m, raw, halos):
-        minor, middle, major = unpack_euler16(raw[m['rnv'] + m['com'] + '_u16'])
+        minor, middle, major = unpack_euler16(raw[m['base'] + m['suf'] + '_u16'])
         cols = {}
         for which, vec in zip(('Min', 'Mid', 'Maj'), (minor, middle, major)):
-            name = m['rnv'] + which + m['com']
+            name = m['base'] + which + m['suf']
             if name in halos.colnames:
                 cols[name] = vec
         return cols
@@ -593,7 +590,7 @@ def _build_loaders(convert_units, header, passthrough=False):
     L.append(
         (
             re.compile(
-                r'(?P<rnv>sigma(?:r|n|v)_eigenvecs)(?P<which>Min|Mid|Maj)(?P<com>_(?:L2)?com)'
+                r'(?P<base>sigma(?:r|n|v)_eigenvecs)(?P<which>Min|Mid|Maj)(?P<suf>_(?:L2)?com)'
             ),
             eigvecs_loader,
         )
@@ -638,7 +635,7 @@ class CompaSOHaloCatalog:
         # fmt: on
         if kwargs:
             raise ValueError(
-                f'Unknown arguments to CompaSOHaloCatalog constructor: {list(kwargs)}'
+                f'CompaSOHaloCatalog got unexpected keyword arguments: {sorted(kwargs)}'
             )
 
         # `subsamples` the kwarg is a request spec; self.subsamples will be
@@ -651,8 +648,8 @@ class CompaSOHaloCatalog:
             probe = path if isinstance(path, (PurePath, str)) else path[0]
             halo_lc = self._is_path_halo_lc(probe)
             if halo_lc and verbose:
-                print('Detected halo light cone catalog.')
-        self.halo_lc = halo_lc
+                print('Light-cone catalog layout detected.')
+        self.halo_lc = bool(halo_lc)
 
         if halo_lc:
             if not self.cleaned:
@@ -662,8 +659,7 @@ class CompaSOHaloCatalog:
                 )
             # no separate cleaning files exist for light cones, but the
             # catalog is inherently cleaned
-            cleaned = False
-            unpack_bits = False
+            cleaned, unpack_bits = False, False
             self.cleaned = True
 
         self.groupdir, self.halo_fns = _resolve_halo_info_files(path, halo_lc)
@@ -686,13 +682,12 @@ class CompaSOHaloCatalog:
         self.load_AB, self.load_pidrv = _parse_subsample_request(
             subsample_request, passthrough=passthrough
         )
-        if halo_lc and self.load_AB:
-            self.load_AB = ['A']  # light cones carry subsample A only
+        if halo_lc:
+            self.load_AB = self.load_AB and ['A']  # light cones carry A only
 
-        unpack_bits = self._setup_unpack_bits(unpack_bits)
+        unpack_bits = self._check_unpack_bits_arg(unpack_bits)
         self.filter_func = filter_func
-        self.convert_units = convert_units
-        self.verbose = verbose
+        self.convert_units, self.verbose = convert_units, verbose
 
         with open_asdf(self.halo_fns[0], lazy_load=True) as af:
             self.header = dict(af['header'])
@@ -700,12 +695,9 @@ class CompaSOHaloCatalog:
 
         if cleaned:
             with open_asdf(self.cleaned_halo_fns[0], lazy_load=True) as af:
-                self.header['TimeSliceRedshiftsPrev'] = af['header'][
-                    'TimeSliceRedshiftsPrev'
-                ]
-                self.header['NumTimeSliceRedshiftsPrev'] = len(
-                    af['header']['TimeSliceRedshiftsPrev']
-                )
+                zprev = af['header']['TimeSliceRedshiftsPrev']
+            self.header['TimeSliceRedshiftsPrev'] = zprev
+            self.header['NumTimeSliceRedshiftsPrev'] = len(zprev)
 
         self._loaders = _build_loaders(convert_units, self.header, passthrough=passthrough)
 
@@ -743,7 +735,7 @@ class CompaSOHaloCatalog:
             return True
         return next(iter(p.glob('lc_*.asdf')), None) is not None
 
-    def _setup_unpack_bits(self, unpack_bits):
+    def _check_unpack_bits_arg(self, unpack_bits):
         """Validate unpack_bits: a bool, a PID field name, or a list of
         PID field names."""
         if unpack_bits is True or unpack_bits is False:
@@ -845,10 +837,10 @@ class CompaSOHaloCatalog:
             m = pat.fullmatch(field)
             if m:
                 if match is not None:
-                    raise KeyError(f'Found more than one way to load field "{field}"')
+                    raise KeyError(f'Field "{field}" matches multiple loader patterns')
                 match, loader = m, fn
         if match is None:
-            raise KeyError(f'Don\'t know how to load halo field "{field}"')
+            raise KeyError(f'No loader pattern matches halo field "{field}"')
         return match, loader
 
     def _plan_field_loads(self, fields):
@@ -892,29 +884,25 @@ class CompaSOHaloCatalog:
         extra = [f for f in order if f not in requested]
         return list(raw_columns), order, extra
 
-    def _load_halo_field(self, halos, rawhalos, field):
+    def _load_halo_field(self, halos, raw_table, field):
         match, loader = self._match_loader(field)
-        column = loader(match, rawhalos, halos)
-        loaded = []
+        column = loader(match, raw_table, halos)
         if isinstance(column, dict):
+            # some loaders (eigvecs, lc_interp) decode several columns at once
             assert field in column
             for k, v in column.items():
                 halos[k][:] = v
-            loaded += list(column)
-        else:
-            halos[field][:] = column
-            loaded += [field]
-        return loaded
+            return list(column)
+        halos[field][:] = column
+        return [field]
 
     def _read_halo_info(
         self, halo_fns, fields, cleaned=False, cleaned_fns=None, passthrough=False
     ):
         """Read + unpack all halo_info (and cleaned) files into self.halos
         (reference compaso_halo_catalog.py:601-796)."""
-        if not cleaned_fns:
-            cleaned_fns = []
-        else:
-            assert len(cleaned_fns) == len(halo_fns)
+        cleaned_fns = list(cleaned_fns or [])
+        assert not cleaned_fns or len(cleaned_fns) == len(halo_fns)
 
         def n_rows(af):
             data = af[self.data_key]
@@ -928,7 +916,7 @@ class CompaSOHaloCatalog:
             cleaned=cleaned, passthrough=passthrough,
             load_AB=self.load_AB, halo_lc=self.halo_lc,
             halo_info_af=afs[0],
-            cleaned_halo_info_af=cleaned_afs[0] if cleaned else None,
+            cleaned_halo_info_af=(cleaned_afs or [None])[0],
         )
         fields, cleaned_fields = self.fields, self.cleaned_fields
 
@@ -953,11 +941,15 @@ class CompaSOHaloCatalog:
                         (N_halos,) + tuple(proto.shape[1:]), dtype=proto.dtype
                     )
         else:
+            def _field_dt(col, clean):
+                if clean:
+                    return clean_dt_progen[col]
+                return (halo_lc_dt if col in halo_lc_dt.names else user_dt)[col]
+
             for col in fields:
-                dt_src = halo_lc_dt if col in halo_lc_dt.names else user_dt
-                cols[col] = np.empty(N_halos, dtype=dt_src[col])
+                cols[col] = np.empty(N_halos, dtype=_field_dt(col, clean=False))
             for col in cleaned_fields:
-                cols[col] = np.empty(N_halos, dtype=clean_dt_progen[col])
+                cols[col] = np.empty(N_halos, dtype=_field_dt(col, clean=True))
 
         all_fields = list(cols)
         raw_cols_needed, load_order, extra_fields = self._plan_field_loads(all_fields)
@@ -980,7 +972,7 @@ class CompaSOHaloCatalog:
 
         N_written = 0
         for i, af in enumerate(afs):
-            caf = cleaned_afs[i] if cleaned_afs else None
+            caf = cleaned_afs[i] if i < len(cleaned_afs) else None
 
             raw = {}
             for field in raw_cols_needed:
@@ -1078,21 +1070,22 @@ class CompaSOHaloCatalog:
             ['pid'] if want_pid_files else []
         )
 
+        vec_dtypes = {'pos': np.float32, 'vel': np.float32, 'rvint': np.int32}
         for w in which:
-            if w in ('pos', 'vel', 'rvint'):
-                dtype = np.int32 if w == 'rvint' else np.float32
+            if w in vec_dtypes:
                 self.subsamples.add_column(
-                    np.empty((N_subsamp, 3), dtype=dtype), name=w, copy=False
+                    np.empty((N_subsamp, 3), dtype=vec_dtypes[w]), name=w, copy=False
                 )
         if want_pid_files:
             if unpack_bits is False:
+                # default to the raw pid flavor that was actually requested
                 unpack_bits = 'packedpid' if 'packedpid' in which else 'pid'
             self.subsamples.update(
                 bitpacked.empty_bitpacked_arrays(N_subsamp, unpack_bits), copy=False
             )
 
-        halo_file_offsets = np.empty(len(N_halo_per_file) + 1, dtype=np.uint64)
-        cumsum(N_halo_per_file, halo_file_offsets, initial=True, final=True)
+        slab_edges = np.empty(len(N_halo_per_file) + 1, dtype=np.uint64)
+        cumsum(N_halo_per_file, slab_edges, initial=True, final=True)
 
         clean_afs = None
         if cleaned:
@@ -1106,20 +1099,17 @@ class CompaSOHaloCatalog:
         boxsize = self.header['BoxSize']
         ppd = self.header['ppd']
 
+        disk_col = {'rv': 'rvint', 'pid': 'packedpid'}
         for rvpid in which_files:
-            colname = {'rv': 'rvint', 'pid': 'packedpid'}[rvpid]
+            colname = disk_col[rvpid]
             for AB in load_AB:
-                for i in range(len(self.superslab_inds)):
-                    fn = (
-                        Path(self.groupdir)
-                        / f'halo_{rvpid}_{AB}'
-                        / f'halo_{rvpid}_{AB}_{self.superslab_inds[i]:03d}.asdf'
-                    )
+                kind = f'halo_{rvpid}_{AB}'
+                for i, slab in enumerate(self.superslab_inds):
+                    fn = Path(self.groupdir) / kind / f'{kind}_{slab:03d}.asdf'
                     with open_asdf(fn, lazy_load=True) as af:
                         slab_particles = np.asarray(af[self.data_key][colname])
 
-                    lo = int(halo_file_offsets[i])
-                    hi = int(halo_file_offsets[i + 1])
+                    lo, hi = int(slab_edges[i]), int(slab_edges[i + 1])
                     rd_starts = self.halos[f'npstart{AB}'][lo:hi]
                     rd_lens = self.halos[f'npout{AB}'][lo:hi]
                     w_all = npstartAB_new[AB][lo : hi + 1].astype(np.int64)
@@ -1231,14 +1221,8 @@ class CompaSOHaloCatalog:
     # ------------------------------------------------------------------
     def nbytes(self, halos=True, subsamples=True):
         """Total bytes held by the halo and/or subsample columns."""
-        tables = {'halos': self.halos, 'subsamples': self.subsamples}
-        if not halos:
-            del tables['halos']
-        if not subsamples:
-            del tables['subsamples']
-        return sum(
-            t[col].nbytes for t in tables.values() for col in t.columns
-        )
+        selected = [t for t, keep in ((self.halos, halos), (self.subsamples, subsamples)) if keep]
+        return sum(t[col].nbytes for t in selected for col in t.columns)
 
     def __repr__(self):
         def row(label, table, noun):
@@ -1249,15 +1233,11 @@ class CompaSOHaloCatalog:
             )
 
         title = f'{self.header["SimName"]} @ z={self.header["Redshift"]:.5g}'
-        return '\n'.join(
-            [
-                'CompaSO Halo Catalog',
-                '====================',
-                title,
-                '-' * len(title),
-                row('     Halos', self.halos, 'halos'),
-                row('Subsamples', self.subsamples, 'particles'),
-                f'Cleaned halos: {self.cleaned}',
-                f'Halo light cone: {self.halo_lc}',
-            ]
-        )
+        lines = ['CompaSO Halo Catalog', '=' * 20, title, '-' * len(title)]
+        lines += [
+            row('     Halos', self.halos, 'halos'),
+            row('Subsamples', self.subsamples, 'particles'),
+            f'Cleaned halos: {self.cleaned}',
+            f'Halo light cone: {self.halo_lc}',
+        ]
+        return '\n'.join(lines)

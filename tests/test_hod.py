@@ -314,3 +314,52 @@ def test_zcv_smoke(prepared, testdata, tmp_path):
         np.asarray(zcv_multi['LRG']['Pk_tr_tr_ell_zcv']),
         rtol=1e-6,
     )
+
+
+def test_zcv_with_native_templates(prepared, testdata, tmp_path):
+    """Full ZCV chain on templates GENERATED in-repo: delete the fixture's
+    presaved zenbu npz, regenerate it with zenbu_window.main (native ZA
+    engine — the reference needs the external ZeNBu package for this), then
+    apply_zcv must consume it (k-binning, kcut, and file-naming glue)."""
+    import copy
+    import shutil
+
+    import yaml as yaml_mod
+
+    from abacusutils_tpu.models.zcv import zenbu_window
+
+    config = copy.deepcopy(prepared)
+    ball = AbacusHOD(
+        config['sim_params'], config['HOD_params'], config['clustering_params']
+    )
+    config['sim_params']['sim_name'] = 'AbacusSummit_base_c000_ph006'
+    config['sim_params']['z_mock'] = 0.8
+    config['HOD_params']['want_rsd'] = False
+    zcv_dir = tmp_path / 'zcv'
+    shutil.copytree(testdata / 'data_zcv', zcv_dir)
+    for p in zcv_dir.rglob('*'):
+        p.chmod(0o755 if p.is_dir() else 0o644)
+    config['zcv_params']['zcv_dir'] = str(zcv_dir)
+    config['zcv_params']['tracer_dir'] = str(tmp_path / 'zcv_tracer')
+
+    # retire the fixture's presaved template; main() must regenerate it
+    tpl_fn = (
+        zcv_dir / 'AbacusSummit_base_c000_ph006' / 'z0.800'
+        / 'zenbu_pk_ij_lpt_nmesh8.npz'
+    )
+    tpl_fn.unlink()
+    cfg_fn = tmp_path / 'zcv_native.yaml'
+    yaml_mod.safe_dump(
+        {k: config[k] for k in ('sim_params', 'HOD_params', 'zcv_params', 'power_params')},
+        open(cfg_fn, 'w'),
+    )
+    zenbu_window.main(str(cfg_fn))
+    assert tpl_fn.is_file(), 'native engine did not write the template npz'
+    tpl = np.load(tpl_fn)
+    assert tpl['pk_ij_zenbu'].shape[0] == 11
+    assert np.isfinite(tpl['pk_ij_zenbu']).all()
+
+    mock_dict = ball.run_hod(ball.tracers, want_rsd=False, write_to_disk=False)
+    zcv_dict = ball.apply_zcv({'LRG': mock_dict['LRG']}, config)
+    assert np.isfinite(np.asarray(zcv_dict['Pk_tr_tr_ell_zcv'])).all()
+    assert 'rho_tr_ZD' in zcv_dict and 'bias' in zcv_dict
