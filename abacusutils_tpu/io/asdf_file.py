@@ -297,6 +297,18 @@ class _NDArrayMarker:
         self.shape = shape
 
 
+class _ColumnMarker:
+    def __init__(self, name, data):
+        self.name = name
+        self.data = data
+
+
+class _TableMarker:
+    def __init__(self, columns, meta):
+        self.columns = columns  # list of _ColumnMarker
+        self.meta = meta
+
+
 def _yaml_represent_ndarray_marker(dumper, m):
     return dumper.represent_mapping(
         '!core/ndarray-1.0.0',
@@ -313,7 +325,23 @@ class _Dumper(yaml.SafeDumper):
     pass
 
 
+def _yaml_represent_table_marker(dumper, t):
+    return dumper.represent_mapping(
+        'tag:astropy.org:astropy/table/table-1.0.0',
+        {'columns': t.columns, 'meta': t.meta, 'qtable': False},
+    )
+
+
+def _yaml_represent_column_marker(dumper, c):
+    return dumper.represent_mapping(
+        'tag:astropy.org:astropy/table/column-1.0.0',
+        {'data': c.data, 'name': c.name},
+    )
+
+
 _Dumper.add_representer(_NDArrayMarker, _yaml_represent_ndarray_marker)
+_Dumper.add_representer(_TableMarker, _yaml_represent_table_marker)
+_Dumper.add_representer(_ColumnMarker, _yaml_represent_column_marker)
 # numpy scalars in headers
 for _t in (np.float32, np.float64):
     _Dumper.add_representer(_t, lambda d, v: d.represent_float(float(v)))
@@ -325,7 +353,12 @@ _Dumper.add_representer(np.bool_, lambda d, v: d.represent_bool(bool(v)))
 def _extract_arrays(tree, arrays):
     """Replace ndarrays in the tree with _NDArrayMarker placeholders."""
     if isinstance(tree, Table):
-        tree = {'__table__': True, **{k: tree[k] for k in tree.colnames}}
+        # serialize with the astropy table tags so the file reads back as a
+        # Table (with meta) here and opens in stock asdf/astropy as well
+        return _TableMarker(
+            [_ColumnMarker(k, _extract_arrays(tree[k], arrays)) for k in tree.colnames],
+            _extract_arrays(dict(tree.meta), arrays),
+        )
     if isinstance(tree, dict):
         return {k: _extract_arrays(v, arrays) for k, v in tree.items()}
     if isinstance(tree, list):
