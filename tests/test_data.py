@@ -305,3 +305,45 @@ def test_native_compress_roundtrip():
     chunk = comp[4 : 4 + size]
     nb = struct.unpack_from('<I', chunk, 4)[0]
     assert decompress_chunk(chunk).tobytes() == raw[:nb]
+
+
+@pytest.mark.parametrize('compression', [None, 'blsc'])
+def test_write_asdf_roundtrip(tmp_path, compression):
+    """write_asdf round trip: nested tree, astropy-tagged Table (columns +
+    meta), mixed dtypes, both uncompressed and blosc block compression."""
+    from abacusutils_tpu.io import write_asdf
+    from abacusutils_tpu.io.table import Table
+
+    rng = np.random.default_rng(7)
+    tab = Table(
+        {
+            'f32': rng.normal(size=1000).astype(np.float32),
+            'f64': rng.normal(size=1000),
+            'i64': rng.integers(-(2**40), 2**40, 1000),
+            'u8': rng.integers(0, 255, 1000, dtype=np.uint8),
+            'vec3': rng.normal(size=(1000, 3)).astype(np.float32),
+        },
+        meta={'SimName': 'Roundtrip_N0_L0', 'BoxSize': 123.5, 'n': 7},
+    )
+    tree = {
+        'data': tab,
+        'header': {'nested': {'arr': np.arange(11, dtype=np.uint32)}},
+        'scalars': [1, 2.5, 'three'],
+    }
+    fn = tmp_path / 'rt.asdf'
+    write_asdf(fn, tree, compression=compression)
+    with open_asdf(fn) as af:
+        got = af['data']
+        assert isinstance(got, Table)
+        assert got.colnames == tab.colnames
+        for col in tab.colnames:
+            arr = np.asarray(got[col])
+            assert arr.dtype == tab[col].dtype
+            npt.assert_array_equal(arr, tab[col])
+        assert got.meta['SimName'] == 'Roundtrip_N0_L0'
+        assert got.meta['BoxSize'] == 123.5
+        assert got.meta['n'] == 7
+        npt.assert_array_equal(
+            np.asarray(af['header']['nested']['arr']), np.arange(11)
+        )
+        assert af['scalars'] == [1, 2.5, 'three']
