@@ -1,8 +1,11 @@
 r"""Mode-coupling window matrix + (optional) ZeNBu LPT theory templates.
 
-The window function (reference zenbu_window.py:49-181, a Numba triple loop
-over all modes) is computed here with vectorized numpy bincounts over the
-rfft mode grid — same output, no per-mode Python.
+The window function (reference zenbu_window.py:49-181, a quadruple Python
+loop over all modes — infeasible at production nmesh) reduces to per-bin
+mode sums: computed here either with vectorized numpy bincounts ('host') or
+on the accelerator ('device': per-kx-plane one-hot bin memberships
+contracted on the MXU, O(nmesh^2) working set — the default at zcv-scale
+meshes, ~16x the host path at nmesh=512).
 
 ZeNBu/velocileptors are optional external packages: if installed,
 `zenbu_spectra` uses them verbatim; otherwise the native ZA engine
@@ -23,7 +26,133 @@ from .cosmo import growth_factors
 __all__ = ['periodic_window_function', 'zenbu_spectra', 'main', 'meshgrid']
 
 
-def periodic_window_function(nmesh, lbox, kout, kin, k2weight=True):
+_PREF = (1, 5, 9)  # (2*ell + 1) for ell = 0, 2, 4
+
+
+def _mode_kgrids(nmesh, lbox):
+    dk = 2 * np.pi / lbox
+    i = np.arange(nmesh)
+    kvals = np.where(i < nmesh // 2, i, i - nmesh).astype(np.float32) * dk
+    kvalsr = np.arange(nmesh // 2 + 1, dtype=np.float32) * dk
+    return kvals, kvalsr
+
+
+def _window_mode_sums_host(nmesh, lbox, kout):
+    """Per-output-bin mode sums with vectorized numpy bincounts.
+
+    Returns (S, nmodes_out_k, keff_sum): S[ell, ellp, bin] is the
+    dup-weighted sum of pref[ell] * L_ell(mu) * L_ellp(mu) over the rfft
+    modes whose |k| falls in the bin; keff_sum is the un-normalized
+    dup-weighted |k| sum.
+    """
+    kvals, kvalsr = _mode_kgrids(nmesh, lbox)
+    kx = kvals[:, None, None]
+    ky = kvals[None, :, None]
+    kz = kvalsr[None, None, :]
+    knorm = np.sqrt(kx**2 + ky**2 + kz**2)
+    mu = np.divide(kz, knorm, out=np.zeros_like(knorm + kz), where=knorm > 0)
+    nkout = len(kout) - 1
+
+    idx_o = np.digitize(knorm, kout) - 1  # (nmesh, nmesh, kzlen)
+    # mode weights: kz=0 plane counted once, else twice
+    dup = np.ones_like(knorm)
+    dup[:, :, 1:] = 2.0
+    inbin = (idx_o >= 0) & (idx_o < nkout)
+    flat_o = np.where(inbin, idx_o, nkout).reshape(-1)
+
+    nmodes_out_k = np.bincount(
+        flat_o, weights=dup.reshape(-1), minlength=nkout + 1
+    )[:nkout]
+    keff_sum = np.bincount(
+        flat_o, weights=(dup * knorm).reshape(-1), minlength=nkout + 1
+    )[:nkout]
+
+    L0 = np.ones_like(mu)
+    L2 = (3 * mu**2 - 1) / 2
+    L4 = (35 * mu**4 - 30 * mu**2 + 3) / 8
+    legs = [L0, L2, L4]
+
+    S = np.zeros((3, 3, nkout))
+    for ell in range(3):
+        for ellp in range(3):
+            w = (dup * _PREF[ell] * legs[ell] * legs[ellp]).reshape(-1)
+            S[ell, ellp] = np.bincount(
+                flat_o, weights=w, minlength=nkout + 1
+            )[:nkout]
+    return S, nmodes_out_k, keff_sum
+
+
+def _f32_ge_edges(kout):
+    """f32 thresholds e32 such that (knorm_f32 >= e32) == (knorm >= e_f64)
+    for every f32 knorm — matches the host digitize, which compares the f32
+    |k| grid against f64 edges."""
+    kout = np.asarray(kout, np.float64)
+    e32 = kout.astype(np.float32)
+    low = e32.astype(np.float64) < kout
+    e32[low] = np.nextafter(e32[low], np.float32(np.inf), dtype=np.float32)
+    return e32
+
+
+def _window_mode_sums_device(nmesh, lbox, kout):
+    """The same mode sums on the accelerator: per-kx-plane one-hot bin
+    memberships contracted on the MXU (7 weight rows x nkout bins per
+    plane, accumulated under lax.scan) — O(nmesh^2) working set instead of
+    the host path's O(nmesh^3) temporaries, and ~16x faster at nmesh=512
+    on one TPU chip (docs/performance.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    kvals, kvalsr = _mode_kgrids(nmesh, lbox)
+    edges = _f32_ge_edges(kout)
+    nkout = len(kout) - 1
+
+    @jax.jit
+    def sums(kvals, kvalsr, edges):
+        kyv = kvals[:, None]
+        kzv = kvalsr[None, :]
+        dup = jnp.broadcast_to(
+            jnp.where(kzv > 0, 2.0, 1.0), (nmesh, nmesh // 2 + 1)
+        ).reshape(-1)
+        kzf = jnp.broadcast_to(kzv, (nmesh, nmesh // 2 + 1)).reshape(-1)
+
+        def plane(acc, kxv):
+            knorm = jnp.sqrt(kxv * kxv + kyv * kyv + kzv * kzv).reshape(-1)
+            mu = jnp.where(knorm > 0, kzf / jnp.where(knorm > 0, knorm, 1.0), 0.0)
+            L2 = (3 * mu * mu - 1) / 2
+            L4 = (35 * mu**4 - 30 * mu * mu + 3) / 8
+            W = jnp.stack(
+                [dup, dup * knorm, dup * L2, dup * L4,
+                 dup * L2 * L2, dup * L2 * L4, dup * L4 * L4]
+            )  # (7, M)
+            # one-hot membership via adjacent >=-edge differences: rows for
+            # out-of-range modes are all-zero, matching the host's inbin mask
+            G = (knorm[:, None] >= edges[None, :]).astype(jnp.float32)
+            onehot = G[:, :-1] - G[:, 1:]  # (M, nkout)
+            part = jax.lax.dot_general(
+                W, onehot, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            return acc + part, None
+
+        acc0 = jnp.zeros((7, nkout), jnp.float32)
+        acc, _ = jax.lax.scan(plane, acc0, kvals)
+        return acc
+
+    r = np.asarray(sums(jnp.asarray(kvals), jnp.asarray(kvalsr),
+                        jnp.asarray(edges)), np.float64)
+    nmodes_out_k, keff_sum = r[0], r[1]
+    prod = {(0, 0): r[0], (0, 1): r[2], (0, 2): r[3],
+            (1, 1): r[4], (1, 2): r[5], (2, 2): r[6]}
+    S = np.empty((3, 3, nkout))
+    for ell in range(3):
+        for ellp in range(3):
+            S[ell, ellp] = _PREF[ell] * prod[min(ell, ellp), max(ell, ellp)]
+    return S, nmodes_out_k, keff_sum
+
+
+def periodic_window_function(nmesh, lbox, kout, kin, k2weight=True,
+                             engine='auto'):
     """Matrix convolving a finely-evaluated theory P_ell with the periodic
     box's mode-coupling: `window @ pell_th` gives the binned-estimator
     expectation (rows are output (ell, k-bin) pairs — pinned against the
@@ -31,19 +160,13 @@ def periodic_window_function(nmesh, lbox, kout, kin, k2weight=True):
     multipoles in test_zenbu_native.py; the reference transposes its own
     matrix at the run_zcv call site, see PARITY.md).
 
+    engine: 'host' (numpy bincounts), 'device' (MXU one-hot contraction,
+    O(nmesh^2) memory), or 'auto' (device at zcv-scale meshes).
+
     Returns (window, keff).
     """
-    dk = 2 * np.pi / lbox
-    i = np.arange(nmesh)
-    kvals = np.where(i < nmesh // 2, i, i - nmesh).astype(np.float32) * dk
-    kvalsr = np.arange(nmesh // 2 + 1, dtype=np.float32) * dk
-
-    kx = kvals[:, None, None]
-    ky = kvals[None, :, None]
-    kz = kvalsr[None, None, :]
-    knorm = np.sqrt(kx**2 + ky**2 + kz**2)
-    mu = np.divide(kz, knorm, out=np.zeros_like(knorm + kz), where=knorm > 0)
-
+    kout = np.asarray(kout, np.float64)
+    kin = np.asarray(kin)
     nkin = len(kin)
     nkout = len(kout) - 1
 
@@ -55,7 +178,6 @@ def periodic_window_function(nmesh, lbox, kout, kin, k2weight=True):
     else:
         win = np.ones_like(kin)
 
-    idx_o = np.digitize(knorm, kout) - 1  # (nmesh, nmesh, kzlen)
     idx_i = np.digitize(kin, kout) - 1
 
     # input-side normalization per output bin
@@ -65,31 +187,13 @@ def periodic_window_function(nmesh, lbox, kout, kin, k2weight=True):
     with np.errstate(divide='ignore'):
         norm_in = np.where(nmodes_in > 0, 1.0 / nmodes_in, 0.0)
 
-    # mode weights: kz=0 plane counted once, else twice
-    dup = np.ones_like(knorm)
-    dup[:, :, 1:] = 2.0
-
-    inbin = (idx_o >= 0) & (idx_o < nkout)
-    flat_o = np.where(inbin, idx_o, nkout).reshape(-1)
-
-    nmodes_out_k = np.bincount(flat_o, weights=dup.reshape(-1), minlength=nkout + 1)[:nkout]
-    keff = np.bincount(
-        flat_o, weights=(dup * knorm).reshape(-1), minlength=nkout + 1
-    )[:nkout]
-
-    L0 = np.ones_like(mu)
-    L2 = (3 * mu**2 - 1) / 2
-    L4 = (35 * mu**4 - 30 * mu**2 + 3) / 8
-    legs = [L0, L2, L4]
-    pref = [1, 5, 9]
-
-    # the per-mode outer sums: S[ell,ellp,kout] = sum_modes dup * pref[ell] *
-    # L_ell * L_ellp  (each output bin couples only to input k in the same bin)
-    S = np.zeros((3, 3, nkout))
-    for ell in range(3):
-        for ellp in range(3):
-            w = (dup * pref[ell] * legs[ell] * legs[ellp]).reshape(-1)
-            S[ell, ellp] = np.bincount(flat_o, weights=w, minlength=nkout + 1)[:nkout]
+    if engine == 'auto':
+        engine = 'device' if nmesh >= 256 else 'host'
+    mode_sums = (
+        _window_mode_sums_device if engine == 'device'
+        else _window_mode_sums_host
+    )
+    S, nmodes_out_k, keff = mode_sums(nmesh, lbox, kout)
 
     window = np.zeros((nkout * 3, nkin * 3), dtype=np.float32)
     # input k fall in output bin idx_i[beta]; weight win[beta]
@@ -109,7 +213,7 @@ def periodic_window_function(nmesh, lbox, kout, kin, k2weight=True):
         norm_out = np.where(nmodes_out > 0, 1.0 / nmodes_out, 0.0)
     norm_in_allell = np.concatenate([norm_in] * 3)
     window = window * norm_out.reshape(-1, 1) * norm_in_allell.reshape(-1, 1)
-    with np.errstate(divide='ignore'):
+    with np.errstate(divide='ignore', invalid='ignore'):
         keff = np.where(nmodes_out_k > 0, keff / nmodes_out_k, 0.0)
     return window, keff.astype(np.float32)
 

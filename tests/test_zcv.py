@@ -9,6 +9,7 @@ tests/test_hod.py::test_zcv_smoke covers.)
 """
 
 import numpy as np
+import numpy.testing as npt
 import pytest
 
 from abacusutils_tpu.models.zcv.ic_fields import get_fields
@@ -258,3 +259,22 @@ def test_zenbu_window_main_generates_templates(tmp_path):
     ratio = pk[0] / pl
     assert (np.abs(ratio[kb < 0.12] - 1) < 0.05).all(), ratio
     assert (np.abs(ratio - 1) < 0.25).all(), ratio
+
+
+def test_window_device_engine_matches_host():
+    """The MXU mode-sum engine (per-kx-plane one-hot contraction, the
+    default at zcv-scale nmesh) must reproduce the host bincount path
+    bit-tightly, for linear and log-spaced output bins."""
+    nmesh, lbox = 32, 250.0
+    kin = np.linspace(1e-3, np.pi * nmesh / lbox, 200)
+    for kout in (
+        np.linspace(0, np.pi * nmesh / lbox, nmesh // 2 + 1),
+        np.concatenate([[0.0], np.geomspace(2 * np.pi / lbox,
+                                            np.pi * nmesh / lbox, 16)]),
+    ):
+        wh, kh = periodic_window_function(nmesh, lbox, kout, kin,
+                                          engine='host')
+        wd, kd = periodic_window_function(nmesh, lbox, kout, kin,
+                                          engine='device')
+        npt.assert_allclose(wd, wh, atol=1e-6)
+        npt.assert_allclose(kd, kh, atol=1e-4)
