@@ -93,54 +93,74 @@ def _f32_ge_edges(kout):
     return e32
 
 
+def _window_sums_impl(kvals, kvalsr, edges, nmesh, nkout):
+    import jax
+    import jax.numpy as jnp
+
+    kyv = kvals[:, None]
+    kzv = kvalsr[None, :]
+    dup = jnp.broadcast_to(
+        jnp.where(kzv > 0, 2.0, 1.0), (nmesh, nmesh // 2 + 1)
+    ).reshape(-1)
+    kzf = jnp.broadcast_to(kzv, (nmesh, nmesh // 2 + 1)).reshape(-1)
+
+    def plane(carry, kxv):
+        knorm = jnp.sqrt(kxv * kxv + kyv * kyv + kzv * kzv).reshape(-1)
+        mu = jnp.where(knorm > 0, kzf / jnp.where(knorm > 0, knorm, 1.0), 0.0)
+        L2 = (3 * mu * mu - 1) / 2
+        L4 = (35 * mu**4 - 30 * mu * mu + 3) / 8
+        W = jnp.stack(
+            [dup, dup * knorm, dup * L2, dup * L4,
+             dup * L2 * L2, dup * L2 * L4, dup * L4 * L4]
+        )  # (7, M)
+        # one-hot membership via adjacent >=-edge differences: rows for
+        # out-of-range modes are all-zero, matching the host's inbin mask
+        G = (knorm[:, None] >= edges[None, :]).astype(jnp.float32)
+        onehot = G[:, :-1] - G[:, 1:]  # (M, nkout)
+        part = jax.lax.dot_general(
+            W, onehot, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return carry, part
+
+    # per-plane results are returned stacked, NOT accumulated in an f32
+    # carry: each plane's integer mode counts stay below 2^24 (exact in
+    # f32) for any realistic nmesh, and the cross-plane sum runs in f64 on
+    # the host — bins with > 2^24 total modes (nmesh >= 1024 with coarse
+    # bins) would lose counts to f32 rounding in a device-side carry
+    _, parts = jax.lax.scan(plane, 0, kvals)
+    return parts  # (nmesh, 7, nkout)
+
+
+_WINDOW_SUMS_JIT = None
+
+
 def _window_mode_sums_device(nmesh, lbox, kout):
     """The same mode sums on the accelerator: per-kx-plane one-hot bin
     memberships contracted on the MXU (7 weight rows x nkout bins per
-    plane, accumulated under lax.scan) — O(nmesh^2) working set instead of
-    the host path's O(nmesh^3) temporaries, and ~16x faster at nmesh=512
-    on one TPU chip (docs/performance.md)."""
+    plane, under lax.scan) — O(nmesh^2) working set instead of the host
+    path's O(nmesh^3) temporaries, and ~16x faster at nmesh=512 on one
+    TPU chip (docs/performance.md)."""
     import jax
     import jax.numpy as jnp
+
+    global _WINDOW_SUMS_JIT
+    if _WINDOW_SUMS_JIT is None:
+        # one module-level jit: repeat calls with the same (nmesh, nkout)
+        # hit the trace cache instead of re-lowering the scan program
+        _WINDOW_SUMS_JIT = jax.jit(
+            _window_sums_impl, static_argnames=('nmesh', 'nkout')
+        )
 
     kvals, kvalsr = _mode_kgrids(nmesh, lbox)
     edges = _f32_ge_edges(kout)
     nkout = len(kout) - 1
-
-    @jax.jit
-    def sums(kvals, kvalsr, edges):
-        kyv = kvals[:, None]
-        kzv = kvalsr[None, :]
-        dup = jnp.broadcast_to(
-            jnp.where(kzv > 0, 2.0, 1.0), (nmesh, nmesh // 2 + 1)
-        ).reshape(-1)
-        kzf = jnp.broadcast_to(kzv, (nmesh, nmesh // 2 + 1)).reshape(-1)
-
-        def plane(acc, kxv):
-            knorm = jnp.sqrt(kxv * kxv + kyv * kyv + kzv * kzv).reshape(-1)
-            mu = jnp.where(knorm > 0, kzf / jnp.where(knorm > 0, knorm, 1.0), 0.0)
-            L2 = (3 * mu * mu - 1) / 2
-            L4 = (35 * mu**4 - 30 * mu * mu + 3) / 8
-            W = jnp.stack(
-                [dup, dup * knorm, dup * L2, dup * L4,
-                 dup * L2 * L2, dup * L2 * L4, dup * L4 * L4]
-            )  # (7, M)
-            # one-hot membership via adjacent >=-edge differences: rows for
-            # out-of-range modes are all-zero, matching the host's inbin mask
-            G = (knorm[:, None] >= edges[None, :]).astype(jnp.float32)
-            onehot = G[:, :-1] - G[:, 1:]  # (M, nkout)
-            part = jax.lax.dot_general(
-                W, onehot, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            return acc + part, None
-
-        acc0 = jnp.zeros((7, nkout), jnp.float32)
-        acc, _ = jax.lax.scan(plane, acc0, kvals)
-        return acc
-
-    r = np.asarray(sums(jnp.asarray(kvals), jnp.asarray(kvalsr),
-                        jnp.asarray(edges)), np.float64)
+    parts = _WINDOW_SUMS_JIT(
+        jnp.asarray(kvals), jnp.asarray(kvalsr), jnp.asarray(edges),
+        nmesh=nmesh, nkout=nkout,
+    )
+    r = np.asarray(parts, np.float64).sum(axis=0)
     nmodes_out_k, keff_sum = r[0], r[1]
     prod = {(0, 0): r[0], (0, 1): r[2], (0, 2): r[3],
             (1, 1): r[4], (1, 2): r[5], (2, 2): r[6]}

@@ -50,8 +50,11 @@ def prepare_cat(halo_cat_path, ndens):
         raise ValueError(
             f'ndens={ndens} selects {n_select} of {len(cat.halos["N"])} halos'
         )
-    # argpartition: we only need the top-n_select set, not a full rank order
-    keep = np.argpartition(cat.halos['N'], -n_select)[-n_select:]
+    # full descending argsort, NOT argpartition: mass ties at the selection
+    # threshold are generic (N is an integer particle count), and the kept
+    # subset must match the reference's np.argsort(N)[::-1][:n_select]
+    # exactly for output parity (generate_cf.py:47-49)
+    keep = np.argsort(cat.halos['N'])[::-1][:n_select]
     cat.halos = cat.halos[keep]
     return cat
 
