@@ -5,7 +5,7 @@ loop over all modes — infeasible at production nmesh) reduces to per-bin
 mode sums: computed here either with vectorized numpy bincounts ('host') or
 on the accelerator ('device': per-kx-plane one-hot bin memberships
 contracted on the MXU, O(nmesh^2) working set — the default at zcv-scale
-meshes, ~16x the host path at nmesh=512).
+meshes, ~50x the host path at nmesh=512).
 
 ZeNBu/velocileptors are optional external packages: if installed,
 `zenbu_spectra` uses them verbatim; otherwise the native ZA engine
@@ -140,7 +140,7 @@ def _window_mode_sums_device(nmesh, lbox, kout):
     """The same mode sums on the accelerator: per-kx-plane one-hot bin
     memberships contracted on the MXU (7 weight rows x nkout bins per
     plane, under lax.scan) — O(nmesh^2) working set instead of the host
-    path's O(nmesh^3) temporaries, and ~16x faster at nmesh=512 on one
+    path's O(nmesh^3) temporaries, and ~50x faster at nmesh=512 on one
     TPU chip (docs/performance.md)."""
     import jax
     import jax.numpy as jnp
