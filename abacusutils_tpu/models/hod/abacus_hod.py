@@ -192,11 +192,7 @@ class AbacusHOD:
                     part_chunks.append(f['particles'][:])
 
         halos = np.concatenate(halo_chunks)
-        parts = (
-            np.concatenate(part_chunks)
-            if part_chunks
-            else np.empty(0, dtype=part_chunks[0].dtype if part_chunks else None)
-        )
+        parts = np.concatenate(part_chunks) if load_parts else None
 
         hveldev_col = 'randoms_exp' if self.want_expvel else 'randoms_gaus_vrms'
         hveldev = halos[hveldev_col]

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.power import _get_mode_bin_plan, _segsum_matmul
-from .hod import shapes
+from .hod.population import _cent_marker, _sat_base
 
 __all__ = [
     'hod_pk_fused_planned',
@@ -60,20 +60,13 @@ PART_KEYS = ('x', 'y', 'z', 'vz', 'hvelz', 'hmass', 'weights', 'randoms', 'delta
 
 
 def _cent_weight(p, mass, deltac, fenv, multis):
-    logM_cut = p['logM_cut'] + p['Acent'] * deltac + p['Bcent'] * fenv
-    return shapes.n_cen_LRG(mass, logM_cut, p['sigma']) * p['ic'] * multis
+    # shared marker formulas live in population.py (_cent_marker includes
+    # the p['ic'] factor); duplicating them here risked silent drift
+    return _cent_marker('LRG', p, mass, deltac, fenv, None) * multis
 
 
 def _sat_weight(p, mass, deltac, fenv, pweights):
-    M1 = 10 ** (p['logM1'] + p['Asat'] * deltac + p['Bsat'] * fenv)
-    logM_cut = p['logM_cut'] + p['Acent'] * deltac + p['Bcent'] * fenv
-    return (
-        shapes.n_sat_LRG_modified(
-            mass, logM_cut, 10**logM_cut, M1, p['sigma'], p['alpha'], p['kappa']
-        )
-        * pweights
-        * p['ic']
-    )
+    return _sat_base('LRG', p, mass, deltac, fenv, None, None) * pweights * p['ic']
 
 
 def populate_weights(halo, part, p, rsd, inv_velz2kms):
@@ -112,12 +105,7 @@ def _paint_weighted(px, py, pz, w, nmesh, lbox, grid):
 
 
 
-def group_inputs(cat, nmesh, lbox, chunk=2048):
-    """Reorder an SoA catalog into the (nmesh, K) x-cell-grouped layout of
-    the MXU paint kernel (one-time staging; the grouping depends only on x,
-    which RSD along z never changes). Padded slots get randoms=2 (populate
-    nothing) and zeros elsewhere. Returns (grouped dict of flat (nmesh*K,)
-    arrays, K)."""
+def _group_with_plan(cat, nmesh, lbox, chunk):
     import numpy as np
 
     from ..ops.grid import build_paint_plan
@@ -125,13 +113,22 @@ def group_inputs(cat, nmesh, lbox, chunk=2048):
     x_shift = np.asarray(cat['x']) + lbox / 2
     plan = build_paint_plan(x_shift, nmesh, lbox, chunk=chunk)
     idx = np.asarray(plan.pad_idx).reshape(-1)
-    N = len(x_shift)
     out = {}
     for k, v in cat.items():
         v = np.asarray(v)
         fill = 2.0 if k == 'randoms' else 0.0
         ext = np.concatenate([v, np.full(1, fill, v.dtype)])
         out[k] = ext[idx]
+    return out, plan
+
+
+def group_inputs(cat, nmesh, lbox, chunk=2048):
+    """Reorder an SoA catalog into the (nmesh, K) x-cell-grouped layout of
+    the MXU paint kernel (one-time staging; the grouping depends only on x,
+    which RSD along z never changes). Padded slots get randoms=2 (populate
+    nothing) and zeros elsewhere. Returns (grouped dict of flat (nmesh*K,)
+    arrays, K)."""
+    out, plan = _group_with_plan(cat, nmesh, lbox, chunk)
     return out, plan.K
 
 
@@ -361,26 +358,23 @@ def group_inputs_linked(halo, part, nmesh, lbox, chunk=8192):
     pipeline). `part['hidx']` must hold original host-halo indices."""
     import numpy as np
 
-    from ..ops.grid import build_paint_plan
-
-    halo_g, K_h = group_inputs(halo, nmesh, lbox, chunk=chunk)
+    halo_g, plan_h = _group_with_plan(halo, nmesh, lbox, chunk)
     part = dict(part)
     hidx = np.asarray(part.pop('hidx'), np.int64)
-    part_g, K_p = group_inputs(part, nmesh, lbox, chunk=chunk)
+    part_g, plan_p = _group_with_plan(part, nmesh, lbox, chunk)
 
     # inverse permutation of the halo grouping (sentinel row n_halo -> slot 0,
-    # harmless: padded particles populate nothing anyway)
-    plan_h = build_paint_plan(np.asarray(halo['x']) + lbox / 2, nmesh, lbox, chunk=chunk)
+    # harmless: padded particles populate nothing anyway); the plans are
+    # reused from the grouping pass — rebuilding them doubled host staging
     pad_idx = np.asarray(plan_h.pad_idx).ravel()
     n_halo = len(np.asarray(halo['x']))
     flat_pos = np.zeros(n_halo + 1, np.int32)
     flat_pos[pad_idx] = np.arange(pad_idx.size, dtype=np.int32)
 
-    plan_p = build_paint_plan(np.asarray(part['x']) + lbox / 2, nmesh, lbox, chunk=chunk)
     idx_p = np.asarray(plan_p.pad_idx).ravel()
     hidx_ext = np.concatenate([hidx, [n_halo]])
     part_g['hkeep_at'] = flat_pos[hidx_ext[idx_p]]
-    return halo_g, part_g, K_h, K_p
+    return halo_g, part_g, plan_h.K, plan_p.K
 
 
 def populate_weights_multi(halo, part, params, want, rsd, inv_velz2kms):
@@ -391,7 +385,7 @@ def populate_weights_multi(halo, part, params, want, rsd, inv_velz2kms):
     central keep code through part['hkeep_at'] (index into the halo layout)
     for ELG conformity. Returns {tracer: (z_c, w_c, z_s, w_s)} and the
     central keep codes."""
-    from ..models.hod.population import TRACER_ORDER, _cent_marker, _sat_base
+    from ..models.hod.population import TRACER_ORDER
 
     marker = jnp.zeros_like(halo['mass'])
     keep_c = jnp.zeros(halo['mass'].shape, jnp.int8)

@@ -610,18 +610,52 @@ def rightwrap(x, L):
 
 def cic_serial(positions, density, boxsize, weights=None):
     """CIC mass assignment (reference cic.py:13-126 contract: accumulates
-    into `density` in place, no wrapping applied)."""
-    nmesh = density.shape[0]
-    out = paint_3d(
-        positions,
-        nmesh,
-        boxsize,
-        weights=weights,
-        kind='cic',
-        wrap=False,
-        grid=density,
-    )
-    density[:] = np.asarray(out)
+    into `density` in place; indices wrap). Cubic grids run on device via
+    paint_3d; non-cubic grids — including the reference's 2D gz == 1
+    projected mode — use a vectorized host path with the same
+    nearest-center two-cell stencil."""
+    gx, gy, gz = density.shape
+    if gx == gy == gz:
+        out = paint_3d(
+            positions,
+            gx,
+            boxsize,
+            weights=weights,
+            kind='cic',
+            wrap=False,
+            grid=density,
+        )
+        density[:] = np.asarray(out)
+        return
+
+    pos = np.asarray(positions)
+    w_pt = np.asarray(weights, np.float64) if weights is not None else 1.0
+    axes = []
+    for d, g in zip(range(3), (gx, gy, gz)):
+        if d == 2 and gz == 1:
+            # 2D projected mode: the z cloud is the single plane, weight 1
+            axes.append(([np.zeros(len(pos), np.int64)], [1.0]))
+            continue
+        p = pos[:, d] / boxsize * g
+        i = np.floor(p + 0.5)  # nearest cell center
+        d_c = i - p  # in (-0.5, 0.5]
+        ii = i.astype(np.int64)
+        axes.append(
+            (
+                [(ii - 1) % g, ii % g, (ii + 1) % g],
+                [
+                    np.where(d_c > 0, d_c, 0.0),  # left neighbor
+                    1.0 - np.abs(d_c),
+                    np.where(d_c > 0, 0.0, -d_c),  # right neighbor
+                ],
+            )
+        )
+    (xi, xw), (yi, yw), (zi, zw) = axes
+    for a in range(len(xi)):
+        for b in range(len(yi)):
+            wab = xw[a] * yw[b] * w_pt
+            for c in range(len(zi)):
+                np.add.at(density, (xi[a], yi[b], zi[c]), wab * zw[c])
 
 
 def partition_parallel(pos, npartition, boxsize, weights=None, coord=0, nthread=-1, sort=False):

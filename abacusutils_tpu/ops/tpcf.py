@@ -57,6 +57,10 @@ def _count_rppi(pos1, pos2, rpbins2, pimax, lbox, nrp, npi, autocorr, ntile,
             (brp >= 0)
             & (brp < nrp)
             & (dz.reshape(-1) < pimax)
+            # non-integer pimax: dz in [npi, pimax) must be dropped, not
+            # wrapped into the next rp row's pi=0 bin (the cell engine's
+            # one-hot columns drop it implicitly)
+            & (bpi < npi)
             & valid1[:, None].repeat(N2, 1).reshape(-1)
         )
         if autocorr:
@@ -555,6 +559,20 @@ def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
     return total
 
 
+def _check_tiled_feasible(n1, n2, lbox, rmax):
+    """The O(N^2) tiled kernel is the only engine when the cell grid does
+    not apply (lbox // rmax < 3 cells). It materializes (tile, N2)
+    temporaries and does N1*N2 work — fail fast with guidance instead of
+    OOM-ing or running for hours on multi-million-point catalogs."""
+    if n1 * n2 > 2e12:
+        raise ValueError(
+            f'rmax={rmax:g} leaves fewer than 3 grid cells in a '
+            f'{lbox:g} box, and the O(N^2) fallback is infeasible at '
+            f'{n1:.2g} x {n2:.2g} points. Reduce the maximum separation '
+            'below lbox/3, subsample, or split the catalog.'
+        )
+
+
 def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None, method=None):
     """Ordered pair counts in (rp, unit-pi) bins on a periodic box.
 
@@ -574,6 +592,10 @@ def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None, method=None):
     )
     if cell is not None:
         return cell
+    _check_tiled_feasible(
+        _npoints(pos1), _npoints(pos1 if autocorr else pos2), lbox,
+        max(float(rpbins[-1]), float(pimax)),
+    )
     pos1 = _to_aos(pos1).astype(np.float64)
     pos2a = pos1 if autocorr else _to_aos(pos2).astype(np.float64)
     p1, ntile = _pad_tiles(pos1)
@@ -605,6 +627,10 @@ def pair_counts_smu(pos1, sbins, nbins_mu, lbox, pos2=None, method=None):
     )
     if cell is not None:
         return cell
+    _check_tiled_feasible(
+        _npoints(pos1), _npoints(pos1 if autocorr else pos2), lbox,
+        float(sbins[-1]),
+    )
     pos1 = _to_aos(pos1).astype(np.float64)
     pos2a = pos1 if autocorr else _to_aos(pos2).astype(np.float64)
     p1, ntile = _pad_tiles(pos1)

@@ -226,3 +226,49 @@ def _brute_smu_bins(pos, sbins):
     return np.bincount(
         (bs * NMU + bmu)[ok], minlength=(len(sbins) - 1) * NMU
     ).reshape(len(sbins) - 1, NMU)
+
+
+def test_rppi_noninteger_pimax_engines_agree():
+    """Non-integer pimax: pairs with dz in [int(pimax), pimax) must be
+    DROPPED, not wrapped into the next rp row's pi=0 bin — and the tiled
+    and cell engines must agree (regression: the tiled ok-mask lacked a
+    bpi < npi check)."""
+    rng = np.random.default_rng(5)
+    pos = _points(3000, rng)
+    pimax = 10.5
+    got_t = pair_counts_rppi(pos, RPBINS, pimax, LBOX, method='tile')
+    got_c = pair_counts_rppi(pos, RPBINS, pimax, LBOX, method='cell')
+    npt.assert_array_equal(got_t, got_c)
+
+    # f64 brute force with the correct drop semantics
+    dt = _kdt()
+    p = np.mod(pos, LBOX).astype(dt)
+    d = p[:, None, :] - p[None, :, :]
+    d = (d - dt(LBOX) * np.round(d / dt(LBOX))).astype(dt)
+    rp2 = d[..., 0] ** 2 + d[..., 1] ** 2
+    adz = np.abs(d[..., 2])
+    brp = np.searchsorted(RPBINS.astype(dt) ** 2, rp2.ravel(), side='right') - 1
+    bpi = np.floor(adz).astype(int).ravel()
+    npi = int(pimax)
+    n = len(p)
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing='ij')
+    ok = (
+        (brp >= 0) & (brp < len(RPBINS) - 1)
+        & (adz.ravel() < pimax) & (bpi < npi)
+        & (ii != jj).ravel()
+    )
+    brute = np.bincount(
+        (brp * npi + bpi)[ok], minlength=(len(RPBINS) - 1) * npi
+    ).reshape(len(RPBINS) - 1, npi)
+    npt.assert_array_equal(got_t, brute)
+
+
+def test_tiled_fallback_infeasible_raises():
+    """rmax too large for the cell grid + multi-million points: the O(N^2)
+    fallback must fail fast with guidance instead of OOM-ing."""
+    n = 2_000_001
+    pos = np.zeros((n, 3))
+    with pytest.raises(ValueError, match='infeasible'):
+        pair_counts_smu(pos, np.array([0.1, 200.0]), 1, 500.0)
+    with pytest.raises(ValueError, match='infeasible'):
+        pair_counts_rppi(pos, np.array([0.1, 200.0]), 200.0, 500.0)

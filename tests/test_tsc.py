@@ -81,6 +81,36 @@ def test_cic_mass_conservation():
     assert np.isclose(dens[5, 6, 7], 1.0)
 
 
+def test_cic_noncubic_grids():
+    """The reference cic.py supports arbitrary (gx, gy, gz) grids including
+    the 2D gz == 1 projected mode; check mass conservation, the projected
+    == summed-3D identity, and an exact hand-placed cloud."""
+    rng = np.random.default_rng(11)
+    box = 50.0
+    n = 3000
+    pos = (rng.random((n, 3)) * box).astype('f4')
+    w = rng.random(n)
+
+    dens2d = np.zeros((32, 16, 1))
+    cic_serial(pos, dens2d, box, weights=w)
+    assert np.isclose(dens2d.sum(), w.sum(), rtol=1e-6)
+
+    # projecting the full 3D non-cubic deposit over z must equal the 2D mode
+    dens3d = np.zeros((32, 16, 8))
+    cic_serial(pos, dens3d, box, weights=w)
+    assert np.isclose(dens3d.sum(), w.sum(), rtol=1e-6)
+    np.testing.assert_allclose(dens3d.sum(axis=2), dens2d[:, :, 0], rtol=1e-7)
+
+    # exact placement: particle at a cell center of a (8, 4, 1) grid
+    dens = np.zeros((8, 4, 1))
+    cic_serial(np.array([[box * 3 / 8, box * 2 / 4, 0.0]]), dens, box)
+    assert np.isclose(dens[3, 2, 0], 1.0)
+    # off-center by a quarter cell in x: weight splits 0.75/0.25
+    dens = np.zeros((8, 4, 1))
+    cic_serial(np.array([[box * 3.25 / 8, box * 2 / 4, 0.0]]), dens, box)
+    np.testing.assert_allclose(dens[[3, 4], 2, 0], [0.75, 0.25], atol=1e-12)
+
+
 @pytest.mark.parametrize('seed', [123, 456])
 @pytest.mark.parametrize('npartition', [1, 1000])
 def test_partition(seed, npartition):
