@@ -195,19 +195,14 @@ def build_paint_plan(px, nmesh, box, offset=0.0, chunk=2048):
     return PaintPlan(jnp.asarray(pad_idx), int(nmesh), float(box), float(offset), K)
 
 
-@partial(
-    jax.jit,
-    static_argnames=('nmesh', 'yb', 'box', 'offset', 'xi', 'yi', 'shift'),
-)
-def _stage_sort_by_cell(cols, nmesh, yb, box, offset, xi=0, yi=1, shift=0.0):
-    """Device half 1 of the grouped-deposit staging: sort all columns by
-    (x-cell, y-block) key in one multi-operand sort and return the sorted
-    columns plus the per-cell run starts (searchsorted over the sorted keys).
+def cell_key_2d(px, py, nmesh, yb, box, offset=0.0, shift=0.0):
+    """(x-cell, y-block) deposit-grouping key of each point.
 
-    The key coordinates are cols[xi] + shift and cols[yi] + shift (the
-    shift folds the caller's box-centering in, avoiding extra dispatches).
-    The key formula mirrors build_paint_plan2d's host `_cells_1d` exactly so
-    device and host stagings produce the same cell assignment.
+    The formula mirrors build_paint_plan2d's host `_cells_1d` exactly so
+    device and host stagings produce the same cell assignment. `shift`
+    folds the caller's box-centering in, avoiding extra dispatches. Exposed
+    so memory-constrained callers can stage wide catalogs in several
+    stable sorts sharing one key (see scripts/power/bench_advect512.py).
     """
     boxf = jnp.float32(box)
     scale = jnp.float32(nmesh) / boxf
@@ -220,7 +215,20 @@ def _stage_sort_by_cell(cols, nmesh, yb, box, offset, xi=0, yi=1, shift=0.0):
         return jnp.floor(q + jnp.float32(0.5)).astype(jnp.int32) % nmesh
 
     nyb = nmesh // yb
-    key = cells(cols[xi]) * nyb + cells(cols[yi]) // yb
+    return cells(px) * nyb + cells(py) // yb
+
+
+@partial(
+    jax.jit,
+    static_argnames=('nmesh', 'yb', 'box', 'offset', 'xi', 'yi', 'shift'),
+)
+def _stage_sort_by_cell(cols, nmesh, yb, box, offset, xi=0, yi=1, shift=0.0):
+    """Device half 1 of the grouped-deposit staging: sort all columns by
+    (x-cell, y-block) key in one multi-operand sort and return the sorted
+    columns plus the per-cell run starts (searchsorted over the sorted keys).
+    """
+    nyb = nmesh // yb
+    key = cell_key_2d(cols[xi], cols[yi], nmesh, yb, box, offset, shift)
     sorted_ops = jax.lax.sort((key,) + tuple(cols), num_keys=1)
     skey = sorted_ops[0]
     ncell = nmesh * nyb

@@ -85,14 +85,23 @@ def main():
 
     # one-time staging: group by (x-cell, y-block) — both RSD-invariant —
     # ON DEVICE (multi-operand sort + per-cell slice scan; the reference's
-    # analog partition_parallel is host-thread-parallel)
+    # analog partition_parallel is host-thread-parallel). First call pays
+    # the (cached-on-disk) XLA compile; re-run to report the warm staging
+    # cost separately — that is the per-catalog cost in any real loop.
+    t0 = time.perf_counter()
+    halo_g, plan_h = group_inputs2d_device(halo, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK_H)
+    part_g, plan_p = group_inputs2d_device(part, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK)
+    jax.block_until_ready(part_g)
+    t_group_cold = time.perf_counter() - t0
+    del halo_g, part_g
     t0 = time.perf_counter()
     halo, plan_h = group_inputs2d_device(halo, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK_H)
     part, plan_p = group_inputs2d_device(part, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK)
     jax.block_until_ready(part)
     K_h, K_p = plan_h.K, plan_p.K
     t_group = time.perf_counter() - t0
-    print('grouping', t_group, 'K_h', K_h, 'K_p', K_p, file=sys.stderr, flush=True)
+    print('grouping', t_group, '(first call incl. compile:', t_group_cold,
+          ') K_h', K_h, 'K_p', K_p, file=sys.stderr, flush=True)
     binplan, counts = make_bin_plan_arrays(NMESH, LBOX, nbins_k)
     Wcomp = jnp.asarray(get_W_compensated(LBOX, NMESH, 'TSC', False).astype(np.float32))
 
@@ -133,6 +142,7 @@ def main():
             'inputs_mode': 'host+upload' if host_inputs else 'device_synth',
             'staging_upload_seconds': round(t_upload, 1),
             'staging_grouping_seconds': round(t_group, 2),
+            'staging_grouping_first_call_seconds': round(t_group_cold, 2),
             'compile_seconds': round(compile_time, 1),
             'device': str(dev),
             'baseline_gal_per_s': BASELINE_GAL_PER_S,

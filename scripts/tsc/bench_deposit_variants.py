@@ -66,6 +66,9 @@ def main(n=50_000_000, nmesh=256, B=32, chunk=32768, iters=3):
             colsB = jnp.arange(B + 2, dtype=jnp.int32)
             if 'u8' in mode:
                 colsZ = jnp.arange(nmesh, dtype=jnp.int32).astype(jnp.uint8)
+            elif 'u16' in mode:
+                # 2 indices per f32 lane; valid to nmesh <= 65536
+                colsZ = jnp.arange(nmesh, dtype=jnp.int32).astype(jnp.uint16)
             else:
                 colsZ = jnp.arange(nmesh, dtype=jnp.int32)
             nchunk = K2 // chunk
@@ -97,6 +100,9 @@ def main(n=50_000_000, nmesh=256, B=32, chunk=32768, iters=3):
 
                     if 'u8' in mode:
                         Mz = (colsZ[None, :] == iz_c.astype(jnp.uint8)[:, None])
+                        Mz = Mz.astype(jnp.float32)
+                    elif 'u16' in mode:
+                        Mz = (colsZ[None, :] == iz_c.astype(jnp.uint16)[:, None])
                         Mz = Mz.astype(jnp.float32)
                     else:
                         Mz = (colsZ[None, :] == iz_c[:, None]).astype(jnp.float32)
@@ -150,7 +156,9 @@ def main(n=50_000_000, nmesh=256, B=32, chunk=32768, iters=3):
         return run
 
     results = {}
-    for mode in ('A', 'C', 'D_u8', 'C_u8'):
+    modes = ('A', 'C', 'D_u8', 'C_u8') if nmesh <= 256 else \
+            ('A', 'C', 'D_u16', 'C_u16')
+    for mode in modes:
         fn = variant_kernel(mode)
         try:
             t0 = time.perf_counter()
