@@ -275,6 +275,13 @@ def _get_mode_bin_plan(n1d, kedges2, muedges2, poles, yslab=None):
     return plan
 
 
+@partial(jax.jit, static_argnames=('kzlen',))
+def _flatten_weights_jit(weights, kzlen):
+    """rfft-mesh weights -> flat f32 mode vector, one dispatch (slice +
+    cast + reshape each cost a tunnel round-trip when run eagerly)."""
+    return weights[:, :, :kzlen].astype(jnp.float32).reshape(-1)
+
+
 @partial(jax.jit, static_argnames=('nbins', 'kzlen', 'chunk', 'even'))
 def _segsum_matmul(wflat, seg, nbins, kzlen, chunk=1 << 20, pole_w=(),
                    even=True):
@@ -372,7 +379,7 @@ def bin_kmu(
 
     plan = _get_mode_bin_plan(int(n1d), kedges2, muedges2, poles)
     kzlen = n1d // 2 + 1
-    wflat = jnp.asarray(weights)[:, :, :kzlen].astype(jnp.float32).reshape(-1)
+    wflat = _flatten_weights_jit(jnp.asarray(weights), kzlen)
     pole_nz = tuple(p for p in poles if p != 0)
     if Nk * Nmu <= 256 and (not poles or Nmu == 1):
         # one-hot matmul beats the gather plan for small bin counts; at
@@ -622,11 +629,25 @@ def get_W_compensated(Lbox, nmesh, paste, interlaced):
     return W
 
 
+@jax.jit
+def _raw_auto_jit(f):
+    return jnp.abs(f) ** 2
+
+
+@jax.jit
+def _raw_cross_jit(f1, f2):
+    return (jnp.conj(f1) * f2).real
+
+
 def get_raw_power(field_fft, field2_fft=None):
-    """|delta_k|^2 or Re[conj(delta1) delta2] (reference get_raw_power:707-727)."""
+    """|delta_k|^2 or Re[conj(delta1) delta2] (reference get_raw_power:707-727).
+
+    One jitted program per call: on remote-dispatch backends (the axon dev
+    tunnel) every eager op costs a host round-trip, which dominates the
+    15-pair P_ij loops in the zcv advection pipeline."""
     if field2_fft is not None:
-        return (jnp.conj(field_fft) * field2_fft).real
-    return jnp.abs(field_fft) ** 2
+        return _raw_cross_jit(field_fft, field2_fft)
+    return _raw_auto_jit(field_fft)
 
 
 # ---------------------------------------------------------------------------

@@ -88,16 +88,21 @@ def main():
     # analog partition_parallel is host-thread-parallel). First call pays
     # the (cached-on-disk) XLA compile; re-run to report the warm staging
     # cost separately — that is the per-catalog cost in any real loop.
+    # axon block_until_ready is a no-op for jit outputs; a dependent-scalar
+    # download is the only honest stage barrier (CLAUDE.md).
+    def sync_tree(x):
+        for leaf in jax.tree_util.tree_leaves(x):
+            float(jnp.sum(leaf.ravel()[:1].astype(jnp.float32)))
     t0 = time.perf_counter()
     halo_g, plan_h = group_inputs2d_device(halo, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK_H)
     part_g, plan_p = group_inputs2d_device(part, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK)
-    jax.block_until_ready(part_g)
+    sync_tree((halo_g, part_g))
     t_group_cold = time.perf_counter() - t0
     del halo_g, part_g
     t0 = time.perf_counter()
     halo, plan_h = group_inputs2d_device(halo, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK_H)
     part, plan_p = group_inputs2d_device(part, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK)
-    jax.block_until_ready(part)
+    sync_tree((halo, part))
     K_h, K_p = plan_h.K, plan_p.K
     t_group = time.perf_counter() - t0
     print('grouping', t_group, '(first call incl. compile:', t_group_cold,

@@ -31,7 +31,10 @@ def main(nmesh=256, nbins_k=None, nbins_mu=4, poles=(), nrep=10):
         out = bin_kmu(
             nmesh, lbox, kedges, muedges, p3d, poles=np.asarray(poles, 'i8')
         )
-        jax.block_until_ready(out)
+        # dependent-scalar download: axon block_until_ready is a no-op for
+        # jit outputs (CLAUDE.md)
+        for leaf in jax.tree_util.tree_leaves(out):
+            np.asarray(jnp.sum(leaf.ravel()[:1].astype(jnp.float32)))
         return out
 
     run()  # compile + build the mode plan (cached thereafter)

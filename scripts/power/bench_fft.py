@@ -16,10 +16,17 @@ def main(nmesh=256, nrep=10, dtype='f4'):
     rng = np.random.default_rng(42)
     field = jnp.asarray(rng.random((nmesh, nmesh, nmesh)).astype(dtype))
 
-    fft = jax.jit(jnp.fft.rfftn)
-    fft(field).block_until_ready()  # compile
+    # axon block_until_ready is a no-op for jit outputs; a dependent-scalar
+    # download is the only honest barrier (CLAUDE.md). Keep it f32 — the
+    # tunnel can't download complex.
+    def sync(x):
+        np.asarray(jnp.sum(x.ravel()[:1].real.astype(jnp.float32)))
+        return x
 
-    t = timeit.timeit(lambda: fft(field).block_until_ready(), number=nrep) / nrep
+    fft = jax.jit(jnp.fft.rfftn)
+    sync(fft(field))  # compile
+
+    t = timeit.timeit(lambda: sync(fft(field)), number=nrep) / nrep
     cells = nmesh**3
     print(
         f'rfftn {nmesh}^3 ({dtype}): {t * 1e3:.2f} ms per call, '
@@ -29,8 +36,8 @@ def main(nmesh=256, nrep=10, dtype='f4'):
     # inverse as well (pk_to_xi and zcv field ops use irfftn)
     kfield = fft(field)
     ifft = jax.jit(lambda x: jnp.fft.irfftn(x, s=(nmesh, nmesh, nmesh)))
-    ifft(kfield).block_until_ready()
-    t = timeit.timeit(lambda: ifft(kfield).block_until_ready(), number=nrep) / nrep
+    sync(ifft(kfield))
+    t = timeit.timeit(lambda: sync(ifft(kfield)), number=nrep) / nrep
     print(f'irfftn {nmesh}^3: {t * 1e3:.2f} ms per call')
 
 
