@@ -408,8 +408,14 @@ def _parse_subsample_request(request, passthrough=False):
         request = dict.fromkeys(keys, True)
 
     if not isinstance(request, dict):
-        # mirror the reference: non-dict truthy values fall through unparsed
-        return [], []
+        # the reference dies with an UnboundLocalError on e.g.
+        # subsamples='A' (compaso_halo_catalog.py:433-512 only handles bool
+        # and dict); fail loudly with the accepted forms instead of
+        # silently loading no particles
+        raise TypeError(
+            f'`subsamples` must be a bool or a dict of selection tokens '
+            f'({_ALL_TOKENS}), got {request!r}'
+        )
 
     if request.get('field', False):
         raise ValueError(

@@ -412,7 +412,9 @@ class AbacusHOD:
         of bin midpoints removes the first-order binning error (measured
         ~2e-3 -> <1e-4 relative on ngal) — an accuracy improvement over the
         reference's midpoint rule (abacus_hod.py:861-978). Returns
-        (H, [c_0, ..., c_{d-1}]) with each c full-shape float32."""
+        (H, [c_0, ..., c_{d-1}]): flat 1D arrays over the OCCUPIED bins only
+        (empty bins contribute 0 to every ngal sum, and the dense 4D
+        shear grid would be 1e8 bins)."""
         zerosH = np.zeros(len(self.halo_data['hmass']))
         cols = {
             'logM': np.log10(self.halo_data['hmass']),
@@ -420,18 +422,34 @@ class AbacusHOD:
             'fenv': self.halo_data.get('hfenv', zerosH),
             'shear': self.halo_data.get('hshear', zerosH),
         }
-        samples = np.vstack([cols[d] for d in dims]).T
-        w = self.halo_data['hmultis']
-        H, _ = np.histogramdd(samples, bins=bins, weights=w)
-        safe = np.where(H > 0, H, 1.0)
+        # Sparse: only occupied bins are kept (<= n_halo of them), as flat
+        # 1D arrays. The dense 4D (100,)^4 grid would be 1e8 bins — ~800 MB
+        # per f64 array — of which all but the occupied ones contribute
+        # exactly 0 to the ngal sums (empty bins have weight 0).
+        flat = None
+        for d, name in enumerate(dims):
+            edges = np.asarray(bins[d])
+            x = cols[name]
+            idx = np.searchsorted(edges, x, side='right') - 1
+            # histogramdd convention: the rightmost edge belongs to the
+            # last bin; samples outside the range are dropped
+            idx[x == edges[-1]] = len(edges) - 2
+            valid_d = (idx >= 0) & (idx <= len(edges) - 2)
+            if flat is None:
+                flat = np.zeros(len(x), np.int64)
+                valid = valid_d
+            else:
+                valid &= valid_d
+            flat = flat * (len(edges) - 1) + np.clip(idx, 0, len(edges) - 2)
+        w = np.asarray(self.halo_data['hmultis'], np.float64)[valid]
+        flat = flat[valid]
+        uniq, inv = np.unique(flat, return_inverse=True)
+        H = np.bincount(inv, weights=w, minlength=len(uniq))
         centers = []
-        for d in range(len(dims)):
-            Hd, _ = np.histogramdd(samples, bins=bins, weights=w * samples[:, d])
-            mid = 0.5 * (bins[d][1:] + bins[d][:-1])
-            shape = [1] * len(dims)
-            shape[d] = -1
-            c = np.where(H > 0, Hd / safe, mid.reshape(shape))
-            centers.append(c.astype(np.float32))
+        for d, name in enumerate(dims):
+            Hd = np.bincount(inv, weights=w * cols[name][valid],
+                             minlength=len(uniq))
+            centers.append((Hd / H).astype(np.float32))
         return H, centers
 
     @property

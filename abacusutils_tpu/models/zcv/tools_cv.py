@@ -434,6 +434,9 @@ class _FlowSetup:
             beta = cov_xt / var_xx
             rho = np.atleast_2d(cov_xt / np.sqrt(var_xx * var_tt))
         rho[rho != rho] = 0
+        # snap near-zero correlations exactly to 0 like the reference
+        # (tools_cv.py:699) so rho outputs match bin-for-bin
+        rho[np.isclose(rho, 0.0)] = 0.0
         return self.smooth_beta(beta), rho
 
 
@@ -568,12 +571,17 @@ def _project_monopole(s, p3d):
     )
 
 
-def _field_reduce(s, pk_nn3d, pk_model3d, pk_cross3d, template_poles,
-                  template_k, out_fn, out_key):
+def _field_reduce(s, cubes, template_poles, template_k, out_fn, out_key):
     """Shared 3D-field CV tail for the zcv/lcv field flows: project the
     measured/model/cross 3D spectra to poles, fit the damped beta per pole,
     expand beta and the theory template back to 3D, subtract, write the
     variance-reduced 3D power, and project the reduced result.
+
+    `cubes` is a dict {'nn', 'model', 'cross'} of 3D spectra that this
+    function CONSUMES (pops) — each cube is ~GBs at zcv meshes, and freeing
+    the cross/model cubes as soon as they are projected only works if the
+    caller holds no other reference (a bare `del` of a shared local is a
+    no-op for peak memory).
 
     Returns (rho, model_proj, cross_proj, nn_proj, reduced_poles, nmodes).
     """
@@ -581,8 +589,9 @@ def _field_reduce(s, pk_nn3d, pk_model3d, pk_cross3d, template_poles,
         out = project_3d_to_poles(s.k_bins, p3d, s.lbox, s.poles)[0]
         return out.reshape(len(s.poles), len(s.k_binc)) / s.lbox**3
 
-    cross_proj = proj(pk_cross3d)
-    del pk_cross3d
+    pk_nn3d = cubes.pop('nn')
+    pk_model3d = cubes.pop('model')
+    cross_proj = proj(cubes.pop('cross'))
     gc.collect()
     nn_proj = proj(pk_nn3d)
     model_proj = proj(pk_model3d)
@@ -648,13 +657,20 @@ def run_zcv_field(power_rsd_tr_fns, power_rsd_ij_fns, power_tr_fns, power_ij_fns
         s.k_binc, data['pk_ij_zenbu'], bias_vec[1:], rsd=s.want_rsd
     )
 
-    pk_nn = np.asarray(_open_data(power_rsd_tr_fns[0])['P_k3D_tr_tr'])
-    pk_zz = combine_field_spectra_k3D(bias_vec, power_rsd_ij_fns, keynames)
-    pk_zn = combine_field_cross_spectra_k3D(bias_vec, power_rsd_tr_fns, keynames)
+    # built directly into the consumable dict: _field_reduce pops and frees
+    # each ~GB cube as soon as it is projected, which only works if no
+    # caller local keeps it alive
+    cubes = dict(
+        nn=np.asarray(_open_data(power_rsd_tr_fns[0])['P_k3D_tr_tr']),
+        model=combine_field_spectra_k3D(bias_vec, power_rsd_ij_fns, keynames),
+        cross=combine_field_cross_spectra_k3D(
+            bias_vec, power_rsd_tr_fns, keynames
+        ),
+    )
 
     out_fn = s.save_z_dir / f'power{s.rsd_str}_ZCV_tr_nmesh{s.nmesh:d}.asdf'
     rho, zz_proj, zn_proj, nn_proj, reduced, nmodes = _field_reduce(
-        s, pk_nn, pk_zz, pk_zn, pk_zenbu, s.k_binc, out_fn, 'P_k3D_tr_tr_zcv'
+        s, cubes, pk_zenbu, s.k_binc, out_fn, 'P_k3D_tr_tr_zcv'
     )
 
     V = s.lbox**3
@@ -834,13 +850,15 @@ def run_lcv_field(power_rsd_tr_fns, power_lin_fns, config):
         bias, f_growth, D, power_lin_fns, power_rsd_tr_fns, s.nmesh, s.lbox,
         R, rec_algo,
     )
+    cubes = dict(nn=pk_tt, model=pk_ll, cross=pk_lt)
+    del pk_tt, pk_ll, pk_lt  # _field_reduce pops + frees each cube
 
     out_fn = (
         s.save_z_dir
         / f'power{s.rsd_str}_LCV_tr_{rec_algo}_nmesh{s.nmesh:d}.asdf'
     )
     rho, ll_proj, lt_proj, tt_proj, reduced, nmodes = _field_reduce(
-        s, pk_tt, pk_ll, pk_lt, p_m_lin_poles, kth, out_fn, 'P_k3D_tr_tr_lcv'
+        s, cubes, p_m_lin_poles, kth, out_fn, 'P_k3D_tr_tr_lcv'
     )
 
     p_m_lin_input = np.array(

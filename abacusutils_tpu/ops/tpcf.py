@@ -115,12 +115,21 @@ def _count_smu(pos1, pos2, sbins2, nmu_f, lbox, ns, nmu, autocorr, ntile,
 
 
 def _is_soa(pos):
-    """True for the SoA staging form: a (x, y, z) tuple/list of 1D columns.
+    """True for the SoA staging form: an (x, y, z) tuple/list of 1D columns.
 
     1D columns avoid the (N, 3) HBM lane padding (a (N, 3) device array
     tiles to (N, 128), a 42x memory blowup), so multi-million-point tracers
-    can stay resident across wp/xi/multipole calls."""
-    return isinstance(pos, (tuple, list)) and len(pos) == 3
+    can stay resident across wp/xi/multipole calls.
+
+    Disambiguation: a plain nested list/array of exactly three (x, y, z)
+    POINTS also has length 3 — only a tuple, or a list whose elements are
+    already-materialized 1D arrays, is read as SoA columns; a plain list of
+    lists keeps the historical (N, 3) point interpretation."""
+    if not isinstance(pos, (tuple, list)) or len(pos) != 3:
+        return False
+    if all(isinstance(c, (np.ndarray, jax.Array)) and c.ndim == 1 for c in pos):
+        return True
+    return isinstance(pos, tuple) and not any(np.ndim(c) != 1 for c in pos)
 
 
 def _npoints(pos):
@@ -559,18 +568,33 @@ def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
     return total
 
 
-def _check_tiled_feasible(n1, n2, lbox, rmax):
-    """The O(N^2) tiled kernel is the only engine when the cell grid does
-    not apply (lbox // rmax < 3 cells). It materializes (tile, N2)
-    temporaries and does N1*N2 work — fail fast with guidance instead of
+def _check_tiled_feasible(n1, n2, lbox, rmax, method=None):
+    """The O(N^2) tiled kernel is the only remaining engine once
+    _cell_pair_counts declines. It materializes (tile, N2) temporaries and
+    does N1*N2 work — fail fast with cause-specific guidance instead of
     OOM-ing or running for hours on multi-million-point catalogs."""
-    if n1 * n2 > 2e12:
-        raise ValueError(
+    if n1 * n2 <= 2e12:
+        return
+    if method == 'tile':
+        why = "method='tile' disabled the cell grid engine"
+        advice = "drop method='tile' (or pass method='cell')"
+    elif int(lbox // rmax) < 3:
+        why = (
             f'rmax={rmax:g} leaves fewer than 3 grid cells in a '
-            f'{lbox:g} box, and the O(N^2) fallback is infeasible at '
-            f'{n1:.2g} x {n2:.2g} points. Reduce the maximum separation '
-            'below lbox/3, subsample, or split the catalog.'
+            f'{lbox:g} box'
         )
+        advice = 'reduce the maximum separation below lbox/3'
+    else:
+        why = (
+            'the cell grid engine declined this workload (cell occupancy '
+            'past the exact-histogram capacity bound)'
+        )
+        advice = 'subsample or split the densest regions'
+    raise ValueError(
+        f'{why}, and the O(N^2) fallback is infeasible at '
+        f'{n1:.2g} x {n2:.2g} points. To proceed: {advice}, '
+        'subsample, or split the catalog.'
+    )
 
 
 def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None, method=None):
@@ -594,7 +618,7 @@ def pair_counts_rppi(pos1, rpbins, pimax, lbox, pos2=None, method=None):
         return cell
     _check_tiled_feasible(
         _npoints(pos1), _npoints(pos1 if autocorr else pos2), lbox,
-        max(float(rpbins[-1]), float(pimax)),
+        max(float(rpbins[-1]), float(pimax)), method=method,
     )
     pos1 = _to_aos(pos1).astype(np.float64)
     pos2a = pos1 if autocorr else _to_aos(pos2).astype(np.float64)
@@ -629,7 +653,7 @@ def pair_counts_smu(pos1, sbins, nbins_mu, lbox, pos2=None, method=None):
         return cell
     _check_tiled_feasible(
         _npoints(pos1), _npoints(pos1 if autocorr else pos2), lbox,
-        float(sbins[-1]),
+        float(sbins[-1]), method=method,
     )
     pos1 = _to_aos(pos1).astype(np.float64)
     pos2a = pos1 if autocorr else _to_aos(pos2).astype(np.float64)

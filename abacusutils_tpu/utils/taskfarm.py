@@ -17,7 +17,9 @@ Two deployment shapes:
   every farmer is started with the same taskfile and ``--shared CLAIMS``.
   Tasks are claimed through an fcntl-locked claims file before execution,
   so each task runs exactly once across the whole fleet — dynamic cross-node
-  balancing without any network server.
+  balancing without any network server. A farmer that crashes mid-task
+  leaves its claim orphaned; restart the (stopped) fleet with
+  ``--release-stale`` to return claimed-but-unfinished tasks to the pool.
 
 Taskfile syntax (a strict, documented subset of the disBatch directive
 language so operational taskfiles carry over; both ``#FARM`` and
@@ -129,7 +131,8 @@ def load_status(path: str) -> dict:
     done: dict[int, tuple[int, str]] = {}
     with open(path) as f:
         for line in f:
-            parts = line.rstrip('\n').split('\t')
+            # maxsplit keeps commands containing tabs intact in field 7
+            parts = line.rstrip('\n').split('\t', 6)
             if len(parts) < 7 or parts[1] not in ('O', 'E'):
                 continue
             done[int(parts[0])] = (int(parts[2]), parts[6])
@@ -183,6 +186,23 @@ class _Claims:
         finally:
             fcntl.flock(self._f, fcntl.LOCK_UN)
 
+    def release_stale(self, finished_ids):
+        """Drop claims with no finished status record (a farmer crashed
+        between claiming and recording). Only safe while no farmer is
+        running — claims of in-flight tasks look identical to stale ones."""
+        fcntl.flock(self._f, fcntl.LOCK_EX)
+        try:
+            self._f.seek(0)
+            claimed = [int(t) for t in self._f.read().split()]
+            kept = [t for t in claimed if t in finished_ids]
+            self._f.seek(0)
+            self._f.truncate()
+            self._f.write(''.join(f'{t}\n' for t in kept))
+            self._f.flush()
+            return len(claimed) - len(kept)
+        finally:
+            fcntl.flock(self._f, fcntl.LOCK_UN)
+
     def close(self):
         self._f.close()
 
@@ -223,8 +243,15 @@ class FarmResult:
 def farm(taskfile: str, workers: int = 4, status_path: str | None = None,
          resume_from: str | None = None, retry: bool = False,
          force_resume: bool = False, shared: str | None = None,
-         log_dir: str | None = None, jobid: str | None = None) -> FarmResult:
-    """Drain a taskfile; returns counts. See module docstring for semantics."""
+         log_dir: str | None = None, jobid: str | None = None,
+         release_stale: bool = False) -> FarmResult:
+    """Drain a taskfile; returns counts. See module docstring for semantics.
+
+    release_stale: with --shared, first drop claims that have no finished
+    status record (a farmer crashed mid-task, leaving its claim orphaned so
+    no other farmer would ever run the task). Only pass this when restarting
+    a stopped fleet — a live farmer's in-flight claims look identical.
+    """
     with open(taskfile) as f:
         entries = parse_taskfile(f)
     jobid = jobid or f'{os.path.basename(taskfile)}_{os.getpid()}'
@@ -232,6 +259,11 @@ def farm(taskfile: str, workers: int = 4, status_path: str | None = None,
     prior = load_status(resume_from) if resume_from else {}
     status = _StatusWriter(status_path)
     claims = _Claims(shared) if shared else None
+    if claims is not None and release_stale:
+        finished = set(prior)
+        if os.path.exists(status_path):
+            finished |= set(load_status(status_path))
+        claims.release_stale(finished)
     if log_dir:
         os.makedirs(log_dir, exist_ok=True)
 
@@ -302,11 +334,14 @@ def main(argv=None) -> int:
                          'multiple farmers on a shared filesystem')
     ap.add_argument('--log-dir', default=None,
                     help='capture each task\'s stdout+stderr to task_ID.log')
+    ap.add_argument('--release-stale', action='store_true',
+                    help='with --shared, release claims that never finished '
+                         '(crashed farmer); use only when no farmer is running')
     args = ap.parse_args(argv)
     res = farm(args.taskfile, workers=args.workers, status_path=args.status,
                resume_from=args.resume_from, retry=args.retry,
                force_resume=args.force_resume, shared=args.shared,
-               log_dir=args.log_dir)
+               log_dir=args.log_dir, release_stale=args.release_stale)
     print(f'taskfarm: {res.ran} ran, {res.failed} failed, '
           f'{res.skipped} skipped', file=sys.stderr)
     return 1 if res.failed else 0

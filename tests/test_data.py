@@ -347,3 +347,13 @@ def test_write_asdf_roundtrip(tmp_path, compression):
             np.asarray(af['header']['nested']['arr']), np.arange(11)
         )
         assert af['scalars'] == [1, 2.5, 'three']
+
+
+def test_subsamples_string_rejected(example_sim):
+    # subsamples='A' (a plausible typo for dict(A=True)) must fail loudly,
+    # not silently load zero particles (the reference dies with an
+    # UnboundLocalError here; we raise a TypeError naming the valid forms)
+    with pytest.raises(TypeError, match='subsamples'):
+        CompaSOHaloCatalog(
+            example_sim / 'halos' / 'z0.000', subsamples='A', fields=['N']
+        )

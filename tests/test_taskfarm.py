@@ -145,3 +145,50 @@ def test_cli_exit_code_and_logs(tmp_path):
     )
     assert rc == 1  # a task failed
     assert (logdir / 'task_0.log').read_text().strip() == 'hello'
+
+
+def test_resume_with_tab_in_command(tmp_path):
+    # commands containing tabs must round-trip through the status file
+    # (load_status splits on '\t' with maxsplit so field 7 keeps its tabs)
+    taskfile = tmp_path / 'tasks'
+    taskfile.write_text(f"printf 'a\\tb' > {tmp_path}/out\n")
+    status = str(taskfile) + '_status.txt'
+    res = farm(str(taskfile), workers=1)
+    assert res.ran == 1 and res.failed == 0
+    done = load_status(status)
+    assert done[0][1].startswith('printf')
+    res2 = farm(str(taskfile), workers=1, resume_from=status)
+    assert res2.skipped == 1 and res2.ran == 0
+
+
+def test_shared_release_stale(tmp_path):
+    # a farmer that claimed a task but never recorded a status line
+    # (crashed mid-task) leaves an orphaned claim; release_stale returns
+    # the task to the pool, while finished claims stay honored
+    taskfile = tmp_path / 'tasks'
+    outdir = tmp_path / 'out'
+    outdir.mkdir()
+    taskfile.write_text(
+        ''.join(f'touch {outdir}/t{i}\n' for i in range(3))
+    )
+    claims = tmp_path / 'claims'
+    status = str(taskfile) + '_status.txt'
+    res = farm(str(taskfile), workers=2, shared=str(claims))
+    assert res.ran == 3
+    # simulate a crashed farmer: claim task 99-like entry for task 1 of a
+    # NEW taskfile generation by rewriting history — easiest faithful
+    # simulation: append an extra claim with no status record
+    with open(claims, 'a') as f:
+        f.write('7\n')
+    taskfile.write_text(
+        ''.join(f'touch {outdir}/u{i}\n' for i in range(8))
+    )
+    # without release_stale, task 7 is permanently skipped
+    res2 = farm(str(taskfile), workers=2, shared=str(claims),
+                resume_from=status)
+    assert not (outdir / 'u7').exists()
+    # with release_stale (fleet stopped), the orphaned claim is dropped
+    res3 = farm(str(taskfile), workers=2, shared=str(claims),
+                resume_from=status, release_stale=True)
+    assert (outdir / 'u7').exists()
+    assert res3.failed == 0

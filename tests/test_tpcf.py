@@ -272,3 +272,20 @@ def test_tiled_fallback_infeasible_raises():
         pair_counts_smu(pos, np.array([0.1, 200.0]), 1, 500.0)
     with pytest.raises(ValueError, match='infeasible'):
         pair_counts_rppi(pos, np.array([0.1, 200.0]), 200.0, 500.0)
+
+
+def test_three_point_list_is_aos():
+    # a plain nested list of exactly three (x,y,z) POINTS must keep the
+    # historical (N,3) interpretation — only tuples or lists of
+    # materialized 1D arrays are read as SoA columns
+    pts = [[1.0, 2.0, 3.0], [50.0, 60.0, 70.0], [90.0, 30.0, 40.0]]
+    arr = np.asarray(pts)
+    sbins = np.linspace(0.1, 80, 5)
+    via_list = pair_counts_smu(pts, sbins, 1, LBOX)
+    via_arr = pair_counts_smu(arr, sbins, 1, LBOX)
+    npt.assert_array_equal(via_list, via_arr)
+    # the same three points as SoA columns (tuple, and list-of-arrays)
+    soa_tuple = tuple(arr[:, i] for i in range(3))
+    soa_list = [arr[:, i].copy() for i in range(3)]
+    npt.assert_array_equal(pair_counts_smu(soa_tuple, sbins, 1, LBOX), via_arr)
+    npt.assert_array_equal(pair_counts_smu(soa_list, sbins, 1, LBOX), via_arr)
