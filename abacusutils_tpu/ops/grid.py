@@ -29,6 +29,8 @@ __all__ = [
     'default_yblock',
     'build_paint_plan',
     'stage_grouped2d',
+    'deposit_tiles',
+    'deposit_chunk',
     'tsc_parallel',
     'cic_serial',
     'partition_parallel',
@@ -195,6 +197,26 @@ def build_paint_plan(px, nmesh, box, offset=0.0, chunk=2048):
     return PaintPlan(jnp.asarray(pad_idx), int(nmesh), float(box), float(offset), K)
 
 
+def deposit_tiles(max_occ, tile_cap=32768, grain=128):
+    """Deposit capacity K and tile (chunk) size for a given max cell
+    occupancy: K is tight to a 128-lane grain instead of rounded to a
+    power-of-two chunk, and the kernel runs ONE tile per cell when K fits
+    `tile_cap` (else the smallest equal split). At bench scale the pow2
+    rounding padded 50M particles to 67M slots where the tight K needs
+    53M — measured 12% off the whole deposit (the kernel's cost is
+    proportional to slots). Returns (K, chunk) with K % chunk == 0."""
+    k = max(int(grain), -(-int(max_occ) // grain) * grain)
+    nch = -(-k // tile_cap)
+    chunk = -(-k // (nch * grain)) * grain
+    return chunk * nch, chunk
+
+
+def deposit_chunk(K, tile_cap=32768):
+    """Tile size for a deposit_tiles-produced capacity K (divides K).
+    Also valid for legacy pow2 capacities up to tile_cap."""
+    return K // -(-K // tile_cap)
+
+
 def cell_key_2d(px, py, nmesh, yb, box, offset=0.0, shift=0.0):
     """(x-cell, y-block) deposit-grouping key of each point.
 
@@ -292,7 +314,10 @@ def stage_grouped2d(cols, nmesh, box, yb, fills, offset=0.0, chunk=2048,
     )
     occ = np.asarray(starts)
     occ = occ[1:] - occ[:-1]  # ~8 KB download; sizes the static capacity
-    K = int(np.ceil(max(int(occ.max()), 1) / chunk) * chunk)
+    if chunk == 'auto':
+        K, _ = deposit_tiles(int(occ.max()))
+    else:
+        K = int(np.ceil(max(int(occ.max()), 1) / chunk) * chunk)
     ncell = nmesh * (nmesh // yb)
     out = _stage_expand_padded(
         sorted_cols, starts, tuple(float(f) for f in fills), K, ncell

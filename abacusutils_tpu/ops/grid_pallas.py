@@ -69,7 +69,14 @@ def build_paint_plan2d(px, py, nmesh, box, yb=16, offset=0.0, chunk=512):
 
     order = np.argsort(key, kind='stable').astype(np.int32)
     counts = np.bincount(key, minlength=ncell)
-    K = int(np.ceil(max(counts.max(), 1) / chunk) * chunk)
+    if chunk == 'auto':
+        # tight 128-aligned capacity, one tile per cell (ops.grid
+        # deposit_tiles); recover the tile size with deposit_chunk(K)
+        from .grid import deposit_tiles
+
+        K, _ = deposit_tiles(int(counts.max()))
+    else:
+        K = int(np.ceil(max(counts.max(), 1) / chunk) * chunk)
     N = len(px)
     pad_idx = np.full((ncell, K), N, dtype=np.int32)
     starts = np.concatenate([[0], np.cumsum(counts)])

@@ -514,19 +514,19 @@ def get_field(pos, Lbox, nmesh, paste, w=None, d=0.0, nthread=None, dtype=np.flo
         assert len(pos) == len(w)
     paste = paste.upper()
     if paste == 'TSC' and len(pos) >= _PLANNED_PAINT_MIN_N:
-        from .grid import default_yblock, paint_planned2
+        from .grid import default_yblock, deposit_chunk, paint_planned2
         from .grid_pallas import build_paint_plan2d
 
         pos = np.asarray(pos)
         B = default_yblock(nmesh)
-        # chunk scales with expected bucket occupancy to bound padding waste
-        occ = len(pos) // (nmesh * (nmesh // B)) + 1
-        chunk = int(min(32768, max(512, 1 << occ.bit_length())))
+        # tight 128-aligned capacity, one tile per cell: the kernel's cost
+        # is proportional to padded slots, and pow2 rounding wasted ~25%
         plan = build_paint_plan2d(
-            pos[:, 0], pos[:, 1], nmesh, Lbox, yb=B, offset=d, chunk=chunk
+            pos[:, 0], pos[:, 1], nmesh, Lbox, yb=B, offset=d, chunk='auto'
         )
         field = paint_planned2(
-            plan, pos[:, 0], pos[:, 1], pos[:, 2], weights=w, chunk=chunk
+            plan, pos[:, 0], pos[:, 1], pos[:, 2], weights=w,
+            chunk=deposit_chunk(plan.K),
         )
     elif paste == 'TSC':
         field = paint_3d(pos, nmesh, Lbox, weights=w, offset=d, kind='tsc', wrap=True)
@@ -922,17 +922,17 @@ class StagedPower:
         self.n_part = len(pos)
         self.interlaced = bool(interlaced)
         B = default_yblock(nmesh)
-        occ = self.n_part // (nmesh * (nmesh // B)) + 1
-        self._chunk = int(min(32768, max(512, 1 << occ.bit_length())))
         w_col = np.ones(self.n_part, np.float32) if w is None else w
         offsets = [0.0]
         if interlaced:
             offsets.append(0.5 * self.lbox / self.nmesh)
         self._stages = []
         for off in offsets:
+            # tight 128-aligned capacity, one tile per cell (per-stage
+            # chunk: the interlaced offset regroups cells)
             plan = build_paint_plan2d(
                 pos[:, 0], pos[:, 1], nmesh, lbox, yb=B, offset=off,
-                chunk=self._chunk,
+                chunk='auto',
             )
             pad = np.asarray(plan.pad_idx)  # (ncell, K) grouped layout
 
@@ -968,13 +968,13 @@ class StagedPower:
         """Fourier overdensity of the staged catalog (optionally with a
         per-call z column). Matches get_field_fft with this stage's
         interlacing setting."""
-        from .grid import _paint_planned_yb_jit
+        from .grid import _paint_planned_yb_jit, deposit_chunk
 
         def delta(st):
             p = st['plan']
             grid = _paint_planned_yb_jit(
                 st['xg'], st['yg'], self._staged_z(st, pz), st['wg'],
-                p.box, p.offset, p.nmesh, p.yb, p.K, self._chunk,
+                p.box, p.offset, p.nmesh, p.yb, p.K, deposit_chunk(p.K),
             )
             return grid * jnp.float32(grid.size / self.n_part) - jnp.float32(1.0)
 

@@ -24,8 +24,10 @@ N_HALO = 10_000_000
 N_PART = 50_000_000
 LBOX = 2000.0
 NMESH = 256
-CHUNK = 32768  # particle deposit K-tile; one tile per cell minimizes loop overhead
-CHUNK_H = 8192  # halo deposit K-tile (lower bucket occupancy)
+# deposit capacities are tight 128-aligned (ops.grid.deposit_tiles, one
+# tile per cell): the kernel cost is proportional to padded slots, and the
+# former pow2-chunk rounding (K=32768 for a max occupancy of ~25.7k)
+# wasted ~25% of the particle deposit
 YBLOCK = 32  # y-block height of the deposit grouping
 
 
@@ -94,16 +96,18 @@ def main():
         for leaf in jax.tree_util.tree_leaves(x):
             float(jnp.sum(leaf.ravel()[:1].astype(jnp.float32)))
     t0 = time.perf_counter()
-    halo_g, plan_h = group_inputs2d_device(halo, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK_H)
-    part_g, plan_p = group_inputs2d_device(part, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK)
+    halo_g, plan_h = group_inputs2d_device(halo, NMESH, LBOX, yb=YBLOCK, chunk='auto')
+    part_g, plan_p = group_inputs2d_device(part, NMESH, LBOX, yb=YBLOCK, chunk='auto')
     sync_tree((halo_g, part_g))
     t_group_cold = time.perf_counter() - t0
     del halo_g, part_g
     t0 = time.perf_counter()
-    halo, plan_h = group_inputs2d_device(halo, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK_H)
-    part, plan_p = group_inputs2d_device(part, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK)
+    halo, plan_h = group_inputs2d_device(halo, NMESH, LBOX, yb=YBLOCK, chunk='auto')
+    part, plan_p = group_inputs2d_device(part, NMESH, LBOX, yb=YBLOCK, chunk='auto')
     sync_tree((halo, part))
     K_h, K_p = plan_h.K, plan_p.K
+    from abacusutils_tpu.ops.grid import deposit_chunk
+    chunk_h, chunk_p = deposit_chunk(K_h), deposit_chunk(K_p)
     t_group = time.perf_counter() - t0
     print('grouping', t_group, '(first call incl. compile:', t_group_cold,
           ') K_h', K_h, 'K_p', K_p, file=sys.stderr, flush=True)
@@ -114,7 +118,7 @@ def main():
         return hod_pk_fused_yb(
             halo, part, params, binplan, Wcomp,
             LBOX, velz2kms, NMESH, YBLOCK, nbins_k, K_h, K_p,
-            rsd=True, chunk_h=CHUNK_H, chunk_p=CHUNK,
+            rsd=True, chunk_h=chunk_h, chunk_p=chunk_p,
         )
 
     # compile + warmup
