@@ -309,7 +309,7 @@ def hod_pk_fused_yb(
     (group_inputs2d, yb=B): the y one-hot is B+2 wide instead of nmesh, which
     halves the deposit time vs hod_pk_fused_planned (deposit is one-hot
     construction bound). This is the bench path."""
-    from ..ops.grid import fold_ypad, paint_grouped_yb
+    from ..ops.grid import fold_ypad, paint_grouped_yb_multi
 
     inv_velz2kms = 1.0 / velz2kms
     z_c, keep_c, z_s, keep_s = populate_weights(halo_g, part_g, params, rsd, inv_velz2kms)
@@ -318,21 +318,28 @@ def hod_pk_fused_yb(
     half_l = jnp.float32(lbox) / 2
     ncell = nmesh * (nmesh // B)
     gridp = jnp.zeros((nmesh, nmesh + 2, nmesh), jnp.float32)
-    gridp = paint_grouped_yb(
+    # one cell scan paints BOTH catalogs: the per-cell grid-row update is
+    # shared, which is the dominant per-slot overhead of the low-occupancy
+    # halo layout (3.8 vs 2.7 ns/slot separate, scripts/tsc/profile_step.py)
+    gridp = paint_grouped_yb_multi(
         gridp,
-        (halo_g['x'] + half_l).reshape(ncell, K_h),
-        (halo_g['y'] + half_l).reshape(ncell, K_h),
-        (z_c + half_l).reshape(ncell, K_h),
-        keep_c.reshape(ncell, K_h),
-        lbox, 0.0, nmesh, B, K_h, chunk_h,
-    )
-    gridp = paint_grouped_yb(
-        gridp,
-        (part_g['x'] + half_l).reshape(ncell, K_p),
-        (part_g['y'] + half_l).reshape(ncell, K_p),
-        (z_s + half_l).reshape(ncell, K_p),
-        keep_s.reshape(ncell, K_p),
-        lbox, 0.0, nmesh, B, K_p, chunk_p,
+        [
+            (
+                (halo_g['x'] + half_l).reshape(ncell, K_h),
+                (halo_g['y'] + half_l).reshape(ncell, K_h),
+                (z_c + half_l).reshape(ncell, K_h),
+                keep_c.reshape(ncell, K_h),
+                K_h, chunk_h,
+            ),
+            (
+                (part_g['x'] + half_l).reshape(ncell, K_p),
+                (part_g['y'] + half_l).reshape(ncell, K_p),
+                (z_s + half_l).reshape(ncell, K_p),
+                keep_s.reshape(ncell, K_p),
+                K_p, chunk_p,
+            ),
+        ],
+        lbox, 0.0, nmesh, B,
     )
     grid = fold_ypad(gridp, nmesh)
 

@@ -31,6 +31,7 @@ __all__ = [
     'stage_grouped2d',
     'deposit_tiles',
     'deposit_chunk',
+    'paint_grouped_yb_multi',
     'tsc_parallel',
     'cic_serial',
     'partition_parallel',
@@ -471,13 +472,25 @@ def paint_grouped_yb(gridp, xg, yg, zg, wg, box, offset, nmesh, B, K2, chunk=819
     arrays grouped by (x-cell, y-block of B cells) — the layout of
     grid_pallas.build_paint_plan2d(yb=B). Trace-time helper; compose under an
     outer jit and fold with fold_ypad."""
+    return paint_grouped_yb_multi(
+        gridp, [(xg, yg, zg, wg, K2, chunk)], box, offset, nmesh, B
+    )
+
+
+def paint_grouped_yb_multi(gridp, groups, box, offset, nmesh, B):
+    """paint_grouped_yb over SEVERAL grouped catalogs sharing one grid.
+
+    `groups` is a list of (xg, yg, zg, wg, K, chunk) tuples, each in the
+    (ncell, K) layout of the same (nmesh, yb=B) geometry. One cell scan
+    accumulates every group's tiles into a shared per-cell stencil before
+    the 3-row grid update, so the per-cell row traffic (3 dynamic
+    slice+update of (B+2, nmesh) rows, ~100 KB at 256^3) is paid once
+    instead of once per catalog — the dominant per-slot overhead for
+    low-occupancy catalogs (halo paint: 3.8 vs 2.7 ns/slot measured).
+    Replaces the reference's per-catalog tsc_parallel calls
+    (analysis/tsc.py:10-206) in the fused HOD+P(k) step."""
     nyb = nmesh // B
     ncell = nmesh * nyb
-    ix, wx = _axis_cloud(xg, box, offset, nmesh, 'tsc', True)
-    iy, wy = _axis_cloud(yg, box, offset, nmesh, 'tsc', True)
-    iz, wz = _axis_cloud(zg, box, offset, nmesh, 'tsc', True)
-    iy = jnp.mod(iy, nmesh)
-    iz = jnp.mod(iz, nmesh)
 
     # u8 iota-compare for the WIDE z one-hot only (4 indices per f32 VPU
     # lane; 14% faster at 50M, scripts/tsc/bench_deposit_variants.py).
@@ -491,46 +504,59 @@ def paint_grouped_yb(gridp, xg, yg, zg, wg, box, offset, nmesh, B, K2, chunk=819
     colsZ = jnp.arange(nmesh, dtype=jnp.int32)
     if u8z:
         colsZ = colsZ.astype(jnp.uint8)
-    nchunk = K2 // chunk
 
     def cell_body(c, gridp):
         cx = c // nyb
         y0 = (c % nyb) * B
+        D = jnp.zeros((3 * (B + 2), nmesh), jnp.float32)
 
-        def chunk_body(t, acc):
-            sl = lambda a: jax.lax.dynamic_slice(a, (c, t * chunk), (1, chunk))[0]  # noqa: E731
-            iy_c = sl(iy) - y0 + 1  # block-local coords in [1, B]
-            iz_c = sl(iz)
-            w_c = sl(wg)
-            wy_c = [(sl(w) * w_c)[:, None] for w in wy]
-            wz_c = [sl(w)[:, None] for w in wz]
-            wx_c = [sl(w) for w in wx]
+        for xg, yg, zg, wg, K2, chunk in groups:
+            K2, chunk = int(K2), int(chunk)
 
-            def onehot(i0, w3, cols):
-                if cols.dtype == jnp.uint8:
-                    i0 = i0.astype(jnp.uint8)
-                M = (cols[None, :] == i0[:, None]).astype(jnp.float32)
-                return (
-                    w3[0] * jnp.roll(M, -1, axis=1)
-                    + w3[1] * M
-                    + w3[2] * jnp.roll(M, 1, axis=1)
+            def chunk_body(t, acc):
+                sl = lambda a: jax.lax.dynamic_slice(a, (c, t * chunk), (1, chunk))[0]  # noqa: E731
+                # TSC axis clouds built PER CHUNK from the raw coordinate
+                # slices: precomputing them outside the cell loop
+                # materializes 9 full (ncell, K) weight arrays (~2.8 GB at
+                # bench scale — XLA cannot fuse elementwise producers into
+                # a dynamic-slice consumer loop), per-chunk construction
+                # reads only the 4 raw columns
+                _, wx = _axis_cloud(sl(xg), box, offset, nmesh, 'tsc', True)
+                iy, wy = _axis_cloud(sl(yg), box, offset, nmesh, 'tsc', True)
+                iz, wz = _axis_cloud(sl(zg), box, offset, nmesh, 'tsc', True)
+                iy_c = jnp.mod(iy, nmesh) - y0 + 1  # block-local, in [1, B]
+                iz_c = jnp.mod(iz, nmesh)
+                w_c = sl(wg)
+                wy_c = [(w * w_c)[:, None] for w in wy]
+                wz_c = [w[:, None] for w in wz]
+                wx_c = wx
+
+                def onehot(i0, w3, cols):
+                    if cols.dtype == jnp.uint8:
+                        i0 = i0.astype(jnp.uint8)
+                    M = (cols[None, :] == i0[:, None]).astype(jnp.float32)
+                    return (
+                        w3[0] * jnp.roll(M, -1, axis=1)
+                        + w3[1] * M
+                        + w3[2] * jnp.roll(M, 1, axis=1)
+                    )
+
+                # construction order matters to the scheduler: LHS (Wy -> A)
+                # fully built before the wide Wz, then the dot — measured 15%
+                # faster than interleaving Wz between Wy and A at 50M
+                Wy = onehot(iy_c, wy_c, colsB)  # (chunk, B+2)
+                A = jnp.concatenate(
+                    [(wx_c[o][:, None] * Wy) for o in range(3)], axis=1
                 )
+                Wz = onehot(iz_c, wz_c, colsZ)  # (chunk, nmesh)
+                Dd = jax.lax.dot_general(
+                    A, Wz, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (3*(B+2), nmesh)
+                return acc + Dd
 
-            # construction order matters to the scheduler: LHS (Wy -> A)
-            # fully built before the wide Wz, then the dot — measured 15%
-            # faster than interleaving Wz between Wy and A at 50M
-            Wy = onehot(iy_c, wy_c, colsB)  # (chunk, B+2)
-            A = jnp.concatenate([(wx_c[o][:, None] * Wy) for o in range(3)], axis=1)
-            Wz = onehot(iz_c, wz_c, colsZ)  # (chunk, nmesh)
-            D = jax.lax.dot_general(
-                A, Wz, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (3*(B+2), nmesh)
-            return acc + D
+            D = jax.lax.fori_loop(0, K2 // chunk, chunk_body, D)
 
-        D = jax.lax.fori_loop(
-            0, nchunk, chunk_body, jnp.zeros((3 * (B + 2), nmesh), jnp.float32)
-        )
         D = D.reshape(3, B + 2, nmesh)
         # padded y rows [y0, y0+B+2) hold real y in [y0-1, y0+B+1)
         for o in range(3):

@@ -18,8 +18,6 @@ N_HALO = 10_000_000
 N_PART = 50_000_000
 LBOX = 2000.0
 NMESH = 256
-CHUNK = 32768
-CHUNK_H = 8192
 YBLOCK = 32
 
 
@@ -36,14 +34,15 @@ def main():
         make_example_inputs_device,
         populate_weights,
     )
-    from abacusutils_tpu.ops.grid import fold_ypad, paint_grouped_yb
+    from abacusutils_tpu.ops.grid import deposit_chunk, fold_ypad, paint_grouped_yb
     from abacusutils_tpu.ops.power import _segsum_matmul, get_W_compensated
 
     halo, part, params = make_example_inputs_device(N_HALO, N_PART, LBOX, seed=42)
     float(part['x'][-1])
-    halo, plan_h = group_inputs2d_device(halo, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK_H)
-    part, plan_p = group_inputs2d_device(part, NMESH, LBOX, yb=YBLOCK, chunk=CHUNK)
+    halo, plan_h = group_inputs2d_device(halo, NMESH, LBOX, yb=YBLOCK, chunk='auto')
+    part, plan_p = group_inputs2d_device(part, NMESH, LBOX, yb=YBLOCK, chunk='auto')
     K_h, K_p = plan_h.K, plan_p.K
+    CHUNK_H, CHUNK = deposit_chunk(K_h), deposit_chunk(K_p)
     binplan, counts = make_bin_plan_arrays(NMESH, LBOX, NMESH // 2)
     Wcomp = jnp.asarray(get_W_compensated(LBOX, NMESH, 'TSC', False).astype(np.float32))
     ncell = NMESH * (NMESH // YBLOCK)
