@@ -29,6 +29,7 @@ __all__ = [
     'populate_weights_multi',
     'hod_pk_fused_multi',
     'group_inputs_linked',
+    'group_inputs2d_linked',
     'make_example_inputs',
     'group_inputs',
     'group_inputs2d',
@@ -384,6 +385,32 @@ def group_inputs_linked(halo, part, nmesh, lbox, chunk=8192):
     return halo_g, part_g, plan_h.K, plan_p.K
 
 
+def group_inputs2d_linked(halo, part, nmesh, lbox, yb=16, chunk=512):
+    """group_inputs2d for both catalogs plus the satellite->host link: adds
+    part_g['hkeep_at'], the position of each particle's host halo in the
+    (x-cell, y-block) grouped halo layout (ELG conformity indexing in the
+    multi-tracer pipeline). `part['hidx']` must hold original host-halo
+    indices. Returns (halo_g, part_g, plan_h, plan_p)."""
+    import numpy as np
+
+    halo_g, plan_h = group_inputs2d(halo, nmesh, lbox, yb=yb, chunk=chunk)
+    part = dict(part)
+    hidx = np.asarray(part.pop('hidx'), np.int64)
+    part_g, plan_p = group_inputs2d(part, nmesh, lbox, yb=yb, chunk=chunk)
+
+    # inverse permutation of the halo grouping (sentinel row n_halo -> slot
+    # 0, harmless: padded particles populate nothing anyway)
+    pad_idx = np.asarray(plan_h.pad_idx).ravel()
+    n_halo = len(np.asarray(halo['x']))
+    flat_pos = np.zeros(n_halo + 1, np.int32)
+    flat_pos[pad_idx] = np.arange(pad_idx.size, dtype=np.int32)
+
+    idx_p = np.asarray(plan_p.pad_idx).ravel()
+    hidx_ext = np.concatenate([hidx, [n_halo]])
+    part_g['hkeep_at'] = flat_pos[hidx_ext[idx_p]]
+    return halo_g, part_g, plan_h, plan_p
+
+
 def populate_weights_multi(halo, part, params, want, rsd, inv_velz2kms):
     """Multi-tracer populate pass (SoA): priority keep codes over stacked
     markers (one random per object, reference gen_cent GRAND_HOD.py:213-252 /
@@ -441,47 +468,59 @@ def populate_weights_multi(halo, part, params, want, rsd, inv_velz2kms):
 
 @partial(
     jax.jit,
-    static_argnames=('want', 'nmesh', 'nbins_k', 'K_h', 'K_p', 'rsd', 'chunk'),
+    static_argnames=(
+        'want', 'nmesh', 'B', 'nbins_k', 'K_h', 'K_p', 'rsd',
+        'chunk_h', 'chunk_p',
+    ),
 )
 def hod_pk_fused_multi(
     halo_g, part_g, params, binplan, Wcomp, lbox, velz2kms,
-    want, nmesh, nbins_k, K_h, K_p, rsd=True, chunk=8192,
+    want, nmesh, B, nbins_k, K_h, K_p, rsd=True, chunk_h=8192, chunk_p=8192,
 ):
     """Multi-tracer fused populate + paint + FFT + P(k): one device program
     producing all tracer auto- AND cross-spectra (the fused counterpart of
     AbacusHOD.compute_power's tracer-pair loop, abacus_hod.py:1338-1472).
 
-    Returns ({(t1, t2): wsum}, {tracer: n_gal}); divide wsum by the bin-plan
-    counts on the host."""
-    from ..ops.grid import paint_grouped
+    Inputs are in the (x-cell, y-block of B) grouped layout of
+    group_inputs2d_linked; each tracer's halo+particle deposit runs as one
+    shared cell scan on the y-blocked MXU kernel (same as the single-tracer
+    bench path). Returns ({(t1, t2): wsum}, {tracer: n_gal}); divide wsum by
+    the bin-plan counts on the host."""
+    from ..ops.grid import fold_ypad, paint_grouped_yb_multi
 
     inv_velz2kms = 1.0 / velz2kms
     tr, _ = populate_weights_multi(halo_g, part_g, params, want, rsd, inv_velz2kms)
 
     half_l = jnp.float32(lbox) / 2
+    ncell = nmesh * (nmesh // B)
     (seg,) = binplan
     deltas = {}
     n_gal = {}
     for tracer in want:
         z_c, w_c, z_s, w_s = tr[tracer]
         ng = w_c.sum() + w_s.sum()
-        grid = jnp.zeros((nmesh, nmesh, nmesh), jnp.float32)
-        grid = paint_grouped(
-            grid,
-            (halo_g['x'] + half_l).reshape(nmesh, K_h),
-            (halo_g['y'] + half_l).reshape(nmesh, K_h),
-            (z_c + half_l).reshape(nmesh, K_h),
-            w_c.reshape(nmesh, K_h),
-            lbox, 0.0, nmesh, K_h, chunk, False,
+        gridp = jnp.zeros((nmesh, nmesh + 2, nmesh), jnp.float32)
+        gridp = paint_grouped_yb_multi(
+            gridp,
+            [
+                (
+                    (halo_g['x'] + half_l).reshape(ncell, K_h),
+                    (halo_g['y'] + half_l).reshape(ncell, K_h),
+                    (z_c + half_l).reshape(ncell, K_h),
+                    w_c.reshape(ncell, K_h),
+                    K_h, chunk_h,
+                ),
+                (
+                    (part_g['x'] + half_l).reshape(ncell, K_p),
+                    (part_g['y'] + half_l).reshape(ncell, K_p),
+                    (z_s + half_l).reshape(ncell, K_p),
+                    w_s.reshape(ncell, K_p),
+                    K_p, chunk_p,
+                ),
+            ],
+            lbox, 0.0, nmesh, B,
         )
-        grid = paint_grouped(
-            grid,
-            (part_g['x'] + half_l).reshape(nmesh, K_p),
-            (part_g['y'] + half_l).reshape(nmesh, K_p),
-            (z_s + half_l).reshape(nmesh, K_p),
-            w_s.reshape(nmesh, K_p),
-            lbox, 0.0, nmesh, K_p, chunk, False,
-        )
+        grid = fold_ypad(gridp, nmesh)
         delta = grid * (grid.size / ng) - 1.0
         delta_k = jnp.fft.rfftn(delta) * jnp.float32(1.0 / grid.size)
         if Wcomp is not None:

@@ -11,6 +11,7 @@ import numpy.testing as npt
 from abacusutils_tpu.models.hod.population import prepare_tracer_params
 from abacusutils_tpu.models.pipeline import (
     group_inputs,
+    group_inputs2d_linked,
     group_inputs_linked,
     hod_pk_fused_multi,
     hod_pk_fused_planned,
@@ -60,26 +61,35 @@ def test_multi_matches_planned_for_lrg_only():
 
     tp = _tracer_params(params)
     tp = {'LRG': dict(tp['LRG'], **params)}  # identical LRG params
+    halo_b, part_b, plan_h, plan_p = group_inputs2d_linked(
+        halo, part, NMESH, LBOX, yb=8, chunk=128
+    )
     spectra, n_gal = hod_pk_fused_multi(
-        halo_g, part_g, tp, binplan, None, LBOX, 100.0,
-        ('LRG',), NMESH, NBINS_K, K_h, K_p, rsd=True, chunk=256,
+        halo_b, part_b, tp, binplan, None, LBOX, 100.0,
+        ('LRG',), NMESH, 8, NBINS_K, plan_h.K, plan_p.K,
+        rsd=True, chunk_h=128, chunk_p=128,
     )
     assert float(n_gal['LRG']) == float(ngal_p)
+    # layouts differ (x-slab vs y-blocked) so the deposit summation order
+    # differs; same budget as test_yb_matches_planned
     npt.assert_allclose(
-        np.asarray(spectra[('LRG', 'LRG')]), np.asarray(wsum_p), rtol=1e-5
+        np.asarray(spectra[('LRG', 'LRG')]), np.asarray(wsum_p), rtol=2e-4
     )
 
 
 def test_multi_tracer_priority_and_spectra():
     halo, part, params = _inputs()
-    halo_g, part_g, K_h, K_p = group_inputs_linked(halo, part, NMESH, LBOX, chunk=256)
+    halo_g, part_g, plan_h, plan_p = group_inputs2d_linked(
+        halo, part, NMESH, LBOX, yb=8, chunk=128
+    )
+    K_h, K_p = plan_h.K, plan_p.K
     binplan, counts = make_bin_plan_arrays(NMESH, LBOX, NBINS_K)
     tp = _tracer_params(params)
     want = ('LRG', 'ELG', 'QSO')
 
     spectra, n_gal = hod_pk_fused_multi(
         halo_g, part_g, tp, binplan, None, LBOX, 100.0,
-        want, NMESH, NBINS_K, K_h, K_p, rsd=True, chunk=256,
+        want, NMESH, 8, NBINS_K, K_h, K_p, rsd=True, chunk_h=128, chunk_p=128,
     )
     for t in want:
         assert float(n_gal[t]) > 0, t
@@ -91,7 +101,8 @@ def test_multi_tracer_priority_and_spectra():
     # priority: adding lower-priority tracers cannot change the LRG count
     spectra_l, n_gal_l = hod_pk_fused_multi(
         halo_g, part_g, {'LRG': tp['LRG']}, binplan, None, LBOX, 100.0,
-        ('LRG',), NMESH, NBINS_K, K_h, K_p, rsd=True, chunk=256,
+        ('LRG',), NMESH, 8, NBINS_K, K_h, K_p, rsd=True, chunk_h=128,
+        chunk_p=128,
     )
     assert float(n_gal_l['LRG']) == float(n_gal['LRG'])
 
@@ -100,20 +111,23 @@ def test_elg_conformity_direction():
     """Brighter logM1_EE (more sats around ELG centrals) must not decrease
     the ELG count (conformity switch keyed on the host's central code)."""
     halo, part, params = _inputs(seed=11)
-    halo_g, part_g, K_h, K_p = group_inputs_linked(halo, part, NMESH, LBOX, chunk=256)
+    halo_g, part_g, plan_h, plan_p = group_inputs2d_linked(
+        halo, part, NMESH, LBOX, yb=8, chunk=128
+    )
+    K_h, K_p = plan_h.K, plan_p.K
     binplan, _ = make_bin_plan_arrays(NMESH, LBOX, NBINS_K)
     tp = _tracer_params(params)
     want = ('LRG', 'ELG')
 
     _, n0 = hod_pk_fused_multi(
         halo_g, part_g, tp, binplan, None, LBOX, 100.0,
-        want, NMESH, NBINS_K, K_h, K_p, rsd=True, chunk=256,
+        want, NMESH, 8, NBINS_K, K_h, K_p, rsd=True, chunk_h=128, chunk_p=128,
     )
     tp2 = {k: dict(v) for k, v in tp.items()}
     tp2['ELG']['logM1_EE'] = 12.0  # many more sats in ELG-central hosts
     _, n1 = hod_pk_fused_multi(
         halo_g, part_g, tp2, binplan, None, LBOX, 100.0,
-        want, NMESH, NBINS_K, K_h, K_p, rsd=True, chunk=256,
+        want, NMESH, 8, NBINS_K, K_h, K_p, rsd=True, chunk_h=128, chunk_p=128,
     )
     assert float(n1['ELG']) >= float(n0['ELG'])
     assert float(n1['LRG']) == float(n0['LRG'])
