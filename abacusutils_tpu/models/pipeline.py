@@ -30,6 +30,7 @@ __all__ = [
     'hod_pk_fused_multi',
     'group_inputs_linked',
     'group_inputs2d_linked',
+    'group_inputs2d_linked_device',
     'make_example_inputs',
     'group_inputs',
     'group_inputs2d',
@@ -168,17 +169,21 @@ class _DeviceStagePlan:
         self.K = K
 
 
-def group_inputs2d_device(cat, nmesh, lbox, yb=16, chunk=512):
+def group_inputs2d_device(cat, nmesh, lbox, yb=16, chunk=512, fills=None):
     """Device-side counterpart of :func:`group_inputs2d`: same (x-cell,
     y-block) padded layout and the same pad semantics (randoms=2, zeros
-    elsewhere), built with one on-device multi-operand sort + a per-cell
-    slice scan (ops.grid.stage_grouped2d) instead of a host argsort and a
-    serial numpy gather. Accepts host or device columns; uploads each flat
-    (N,) column once. Returns (grouped dict of flat device arrays, plan).
+    elsewhere; override per column via `fills`), built with one on-device
+    multi-operand sort + a per-cell slice scan (ops.grid.stage_grouped2d)
+    instead of a host argsort and a serial numpy gather. Accepts host or
+    device columns; uploads each flat (N,) column once. Returns (grouped
+    dict of flat device arrays, plan).
     """
     keys = list(cat)
+    fills = fills or {}
     cols = [jnp.asarray(cat[k], jnp.float32) for k in keys]
-    fills = [2.0 if k == 'randoms' else 0.0 for k in keys]
+    fills = [
+        fills.get(k, 2.0 if k == 'randoms' else 0.0) for k in keys
+    ]
     staged, K = stage_grouped2d_import(
         cols, nmesh, lbox, yb, fills, offset=0.0, chunk=chunk,
         xi=keys.index('x'), yi=keys.index('y'),
@@ -411,6 +416,53 @@ def group_inputs2d_linked(halo, part, nmesh, lbox, yb=16, chunk=512):
     return halo_g, part_g, plan_h, plan_p
 
 
+def group_inputs2d_linked_device(halo, part, nmesh, lbox, yb=16, chunk=512):
+    """Device-side counterpart of :func:`group_inputs2d_linked`: both
+    catalogs staged on device, plus part_g['hkeep_at'] (int32 position of
+    each particle's host halo in the grouped halo layout, for ELG
+    conformity). `part['hidx']` must hold original host-halo indices.
+
+    The link rides the staging: the halo stage carries an extra arange
+    column, one unique-index scatter inverts the grouping permutation, and
+    the per-particle host slot is gathered once and staged as a float
+    column (exactness requires both n_halo and the grouped halo layout
+    size < 2**24; asserted). Returns (halo_g, part_g, plan_h, plan_p)."""
+    n_halo = int(jnp.asarray(halo['x']).shape[0])
+    if n_halo + 1 >= 1 << 24:
+        raise ValueError(
+            f'n_halo={n_halo} exceeds the f32-exact staging link range (2^24)'
+        )
+    halo = dict(halo)
+    halo['slot_src'] = jnp.arange(n_halo, dtype=jnp.float32)
+    halo_g, plan_h = group_inputs2d_device(
+        halo, nmesh, lbox, yb=yb, chunk=chunk,
+        fills={'slot_src': float(n_halo)},
+    )
+    orig = halo_g.pop('slot_src')
+    M = orig.shape[0]
+    if M >= 1 << 24:
+        raise ValueError(
+            f'grouped halo layout size {M} exceeds the f32-exact link range'
+        )
+    # invert the grouping permutation: flat_pos[original index] = grouped
+    # slot. All pad slots collide at index n_halo (never read with nonzero
+    # weight — pad particles carry randoms=2 and weights=0).
+    flat_pos = (
+        jnp.zeros(n_halo + 1, jnp.int32)
+        .at[orig.astype(jnp.int32)]
+        .set(jnp.arange(M, dtype=jnp.int32), mode='drop')
+    )
+    part = dict(part)
+    hidx = jnp.asarray(part.pop('hidx')).astype(jnp.int32)
+    hslot = flat_pos[jnp.clip(hidx, 0, n_halo)]  # one-time element gather
+    part['hkeep_at'] = hslot.astype(jnp.float32)
+    part_g, plan_p = group_inputs2d_device(
+        part, nmesh, lbox, yb=yb, chunk=chunk, fills={'hkeep_at': 0.0}
+    )
+    part_g['hkeep_at'] = part_g['hkeep_at'].astype(jnp.int32)
+    return halo_g, part_g, plan_h, plan_p
+
+
 def populate_weights_multi(halo, part, params, want, rsd, inv_velz2kms):
     """Multi-tracer populate pass (SoA): priority keep codes over stacked
     markers (one random per object, reference gen_cent GRAND_HOD.py:213-252 /
@@ -543,13 +595,14 @@ def hod_pk_fused_multi(
     return spectra, n_gal
 
 
-def make_example_inputs_device(n_halo, n_part, lbox, seed=0):
+def make_example_inputs_device(n_halo, n_part, lbox, seed=0, link=False):
     """Device-side twin of :func:`make_example_inputs`: the same synthetic
     catalog distributions drawn with jax.random directly in HBM. For
     benchmarking on hosts whose device link would otherwise dominate (the
     dev tunnel transfers ~GBs at single-digit MB/s on bad days); the real
     pipeline stages real data, the bench only needs the right shapes and
-    statistics."""
+    statistics. link=True adds part['hidx'] (host-halo index, int32) for
+    the multi-tracer conformity link."""
     import jax
 
     @partial(jax.jit, static_argnames=('n_halo', 'n_part', 'lbox'))
@@ -584,10 +637,14 @@ def make_example_inputs_device(n_halo, n_part, lbox, seed=0):
             'randoms': jax.random.uniform(ks[10], (n_part,), jnp.float32),
             'deltac': jnp.zeros(n_part, jnp.float32),
             'fenv': jnp.zeros(n_part, jnp.float32),
+            'hidx': hidx.astype(jnp.int32),
         }
         return halo, part
 
     halo, part = gen(jax.random.PRNGKey(seed), int(n_halo), int(n_part), float(lbox))
+    if not link:
+        part = dict(part)
+        part.pop('hidx')
     params = {
         'logM_cut': 12.8, 'logM1': 14.0, 'sigma': 0.3, 'alpha': 1.0,
         'kappa': 0.4, 'alpha_c': 0.3, 'alpha_s': 1.0, 'ic': 1.0,

@@ -133,6 +133,38 @@ def test_elg_conformity_direction():
     assert float(n1['LRG']) == float(n0['LRG'])
 
 
+def test_linked_device_staging_matches_host():
+    """group_inputs2d_linked_device reproduces the host linked staging:
+    same K, identical column layouts, and the same conformity link for
+    every real (non-pad) particle slot."""
+    from abacusutils_tpu.models.pipeline import group_inputs2d_linked_device
+
+    halo, part, params = _inputs()
+    halo_h, part_h, plan_hh, plan_ph = group_inputs2d_linked(
+        halo, dict(part), NMESH, LBOX, yb=8, chunk=128
+    )
+    halo_d, part_d, plan_hd, plan_pd = group_inputs2d_linked_device(
+        halo, dict(part), NMESH, LBOX, yb=8, chunk=128
+    )
+    assert plan_hd.K == plan_hh.K and plan_pd.K == plan_ph.K
+    for k in halo_h:
+        npt.assert_array_equal(
+            np.asarray(halo_d[k]), np.asarray(halo_h[k]), err_msg=f'halo {k}'
+        )
+    for k in part_h:
+        if k == 'hkeep_at':
+            continue
+        npt.assert_array_equal(
+            np.asarray(part_d[k]), np.asarray(part_h[k]), err_msg=f'part {k}'
+        )
+    # pad slots may link to different (equally dead) pad halo slots; real
+    # slots must agree exactly
+    real = np.asarray(part_h['randoms']) < 2.0
+    npt.assert_array_equal(
+        np.asarray(part_d['hkeep_at'])[real], np.asarray(part_h['hkeep_at'])[real]
+    )
+
+
 def test_pallas_fused_matches_planned():
     """The Pallas fused pipeline (interpret mode on CPU) produces the same
     galaxy count and P(k) sums as the XLA planned pipeline on the same
