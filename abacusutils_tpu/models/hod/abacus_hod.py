@@ -83,6 +83,7 @@ class AbacusHOD:
 
         self.chunk = chunk
         self.n_chunks = n_chunks
+        self._fused_stage = None  # device stage cache for run_hod_pk_fused
         assert self.chunk < self.n_chunks, (
             'Total number of chunks needs to be larger than current chunk index'
         )
@@ -322,6 +323,38 @@ class AbacusHOD:
         return halo_data, particle_data, params, mock_dir
 
     # ------------------------------------------------------------------
+    def _reseed_randoms(self, reseed):
+        """Regenerate the pre-attached halo/particle randoms in place
+        (reference run_hod:706-760 contract: same PCG64 stream order).
+        Invalidates any cached device stage built on the old randoms."""
+        start = time.time()
+        rng = np.random.default_rng(np.random.PCG64(reseed))
+        H = len(self.halo_data['hrandoms'])
+        r1 = rng.random(H, dtype=np.float32)
+        if self.want_expvel:
+            rt = rng.random((3, H), dtype=np.float32).T
+            r2 = np.zeros((H, 3), dtype=np.float32)
+            hi = rt >= 0.5
+            r2[hi] = -np.log(2 * (1 - rt[hi]))
+            r2[~hi] = np.log(2 * rt[~hi])
+        else:
+            r2 = np.stack(
+                [rng.standard_normal(H, dtype=np.float32) for _ in range(3)],
+                axis=1,
+            )
+        r3 = rng.random(len(self.particle_data['prandoms']), dtype=np.float32)
+        self.halo_data['hrandoms'] = r1.astype(np.float64)
+        self.halo_data['hveldev'] = (
+            r2.astype(np.float64)
+            * self.halo_data['hsigma3d'][:, None]
+            / np.sqrt(3)
+        )
+        self.particle_data['prandoms'] = r3.astype(np.float64)
+        self._fused_stage = None
+        self.logger.info(
+            f'Randoms generated in elapsed time {time.time() - start:.2f} s.'
+        )
+
     def run_hod(
         self,
         tracers=None,
@@ -344,32 +377,7 @@ class AbacusHOD:
                 'only NFW profiles are supported'
             )
         if reseed:
-            start = time.time()
-            rng = np.random.default_rng(np.random.PCG64(reseed))
-            H = len(self.halo_data['hrandoms'])
-            r1 = rng.random(H, dtype=np.float32)
-            if self.want_expvel:
-                rt = rng.random((3, H), dtype=np.float32).T
-                r2 = np.zeros((H, 3), dtype=np.float32)
-                hi = rt >= 0.5
-                r2[hi] = -np.log(2 * (1 - rt[hi]))
-                r2[~hi] = np.log(2 * rt[~hi])
-            else:
-                r2 = np.stack(
-                    [rng.standard_normal(H, dtype=np.float32) for _ in range(3)],
-                    axis=1,
-                )
-            r3 = rng.random(len(self.particle_data['prandoms']), dtype=np.float32)
-            self.halo_data['hrandoms'] = r1.astype(np.float64)
-            self.halo_data['hveldev'] = (
-                r2.astype(np.float64)
-                * self.halo_data['hsigma3d'][:, None]
-                / np.sqrt(3)
-            )
-            self.particle_data['prandoms'] = r3.astype(np.float64)
-            self.logger.info(
-                f'Randoms generated in elapsed time {time.time() - start:.2f} s.'
-            )
+            self._reseed_randoms(reseed)
 
         start = time.time()
         mock_dict = gen_gals(
@@ -716,6 +724,142 @@ class AbacusHOD:
         clustering['k_binc'] = np.asarray(power['k_mid'])
         clustering['mu_binc'] = np.asarray(power['mu_mid'])[0]
         return clustering
+
+    def run_hod_pk_fused(
+        self,
+        tracers=None,
+        want_rsd=True,
+        nmesh=256,
+        nbins_k=None,
+        yb=None,
+        reseed=None,
+        compensated=True,
+    ):
+        """Populate + TSC paint + FFT + every tracer auto/cross P(k)
+        monopole as ONE jitted device program — the fused counterpart of
+        ``run_hod()`` followed by ``compute_power()`` (reference
+        run_hod:706-859 + compute_power:1338-1472), for HOD inference
+        loops where the galaxies themselves are never needed on host.
+
+        Population physics is shared statement-for-statement with
+        ``run_hod`` (the marker kernels in .population: shapes, priority
+        stacking, ELG conformity via the staged particle->halo link,
+        velocity bias), so the realized galaxy set is identical for the
+        same pre-attached randoms. Not supported in the fused path:
+        light-cone RSD, NFW satellites, and velocity-rank decorations
+        (want_ranks) — use ``run_hod`` + ``compute_power`` for those.
+
+        The grouped device stage is cached across calls (same nmesh/yb and
+        randoms), so repeated calls with new HOD parameters pay only the
+        ~0.1 s/tracer device step. Returns ``(clustering, n_gal)`` with
+        the ``compute_power`` key schema ('{t1}_{t2}', '{t1}_{t2}_modes',
+        'k_binc') and per-tracer galaxy counts."""
+        import jax.numpy as jnp
+
+        from ..pipeline import (
+            group_inputs2d_linked_device,
+            hod_pk_fused_multi,
+            make_bin_plan_arrays,
+        )
+        from ...ops.grid import default_yblock, deposit_chunk
+        from ...ops.power import get_W_compensated
+        from .population import TRACER_ORDER, prepare_tracer_params
+
+        if tracers is None:
+            tracers = self.tracers
+        if self.halo_lc:
+            raise NotImplementedError(
+                'fused P(k) supports periodic boxes only (light-cone RSD '
+                'projects along per-galaxy lines of sight); use run_hod + '
+                'compute_power'
+            )
+        if self.z_type == 'secondary':
+            raise RuntimeError(
+                'Secondary redshifts have no particle subsamples; the fused '
+                'path needs particle-based satellites'
+            )
+        if self.want_ranks:
+            raise NotImplementedError(
+                'velocity-rank decorations are not in the fused populate; '
+                'use run_hod + compute_power'
+            )
+        if reseed:
+            self._reseed_randoms(reseed)
+
+        lbox = float(self.lbox)
+        if yb is None:
+            yb = default_yblock(nmesh)
+        if nbins_k is None:
+            nbins_k = nmesh // 2
+
+        stage_key = (int(nmesh), int(yb))
+        cached = getattr(self, '_fused_stage', None)
+        if cached is not None and cached[0] == stage_key:
+            _, halo_g, part_g, plan_h, plan_p = cached
+        else:
+            hd, pd = self.halo_data, self.particle_data
+            zeros_h = np.zeros(len(hd['hmass']), np.float32)
+            zeros_p = np.zeros(len(pd['phmass']), np.float32)
+            halo = {
+                'x': hd['hpos'][:, 0], 'y': hd['hpos'][:, 1],
+                'z': hd['hpos'][:, 2], 'vz': hd['hvel'][:, 2],
+                'vdevz': hd['hveldev'][:, 2], 'mass': hd['hmass'],
+                'multis': hd['hmultis'], 'randoms': hd['hrandoms'],
+                'deltac': hd.get('hdeltac', zeros_h),
+                'fenv': hd.get('hfenv', zeros_h),
+            }
+            part = {
+                'x': pd['ppos'][:, 0], 'y': pd['ppos'][:, 1],
+                'z': pd['ppos'][:, 2], 'vz': pd['pvel'][:, 2],
+                'hvelz': pd['phvel'][:, 2], 'hmass': pd['phmass'],
+                'weights': pd['pweights'], 'randoms': pd['prandoms'],
+                'deltac': pd.get('pdeltac', zeros_p),
+                'fenv': pd.get('pfenv', zeros_p),
+                'hidx': pd['pinds'],
+            }
+            if self.want_shear:
+                halo['shear'] = hd['hshear']
+                part['shear'] = pd['pshear']
+            halo_g, part_g, plan_h, plan_p = group_inputs2d_linked_device(
+                halo, part, nmesh, lbox, yb=yb, chunk='auto'
+            )
+            self._fused_stage = (stage_key, halo_g, part_g, plan_h, plan_p)
+
+        K_h, K_p = plan_h.K, plan_p.K
+        binplan, counts = make_bin_plan_arrays(nmesh, lbox, nbins_k)
+        Wcomp = (
+            jnp.asarray(
+                get_W_compensated(lbox, nmesh, 'TSC', False).astype(np.float32)
+            )
+            if compensated else None
+        )
+        want = tuple(t for t in TRACER_ORDER if t in tracers)
+        tp = prepare_tracer_params(
+            {t: tracers[t] for t in want}, self.params['z']
+        )
+        spectra, ng = hod_pk_fused_multi(
+            halo_g, part_g, tp, binplan, Wcomp, lbox,
+            float(self.params['velz2kms']), want, int(nmesh), int(yb),
+            int(nbins_k), K_h, K_p, rsd=bool(want_rsd),
+            chunk_h=deposit_chunk(K_h), chunk_p=deposit_chunk(K_p),
+        )
+
+        from ...ops.power import get_k_mu_edges
+
+        kedges, _ = get_k_mu_edges(
+            lbox, np.pi * nmesh / lbox, nbins_k, 1, False
+        )
+        clustering = {'k_binc': 0.5 * (kedges[1:] + kedges[:-1])}
+        nonzero = counts != 0
+        for (t1, t2), wsum in spectra.items():
+            P = np.where(nonzero, np.asarray(wsum) / counts, 0.0) * lbox**3
+            clustering[f'{t1}_{t2}'] = P
+            clustering[f'{t1}_{t2}_modes'] = counts
+            if t1 != t2:
+                clustering[f'{t2}_{t1}'] = P
+                clustering[f'{t2}_{t1}_modes'] = counts
+        n_gal = {t: float(ng[t]) for t in want}
+        return clustering, n_gal
 
     def apply_zcv(self, mock_dict, config, load_presaved=False):
         from ..zcv.apply import apply_zcv

@@ -99,6 +99,47 @@ def test_hod_golden(prepared, testdata):
     )
 
 
+def test_run_hod_pk_fused_matches_compute_power(prepared):
+    """The fused device program (run_hod_pk_fused) reproduces the two-step
+    reference workflow (run_hod -> compute_power) on the Mini box: same
+    per-tracer galaxy counts (shared populate kernels + shared pre-attached
+    randoms) and the same auto/cross P(k) to paint round-off."""
+    config = prepared
+    ball = AbacusHOD(
+        config['sim_params'], config['HOD_params'], config['clustering_params']
+    )
+    mock = ball.run_hod(ball.tracers, want_rsd=True, write_to_disk=False)
+
+    nmesh, nbins_k = 32, 16
+    lbox = float(ball.lbox)
+    ref = ball.compute_power(
+        mock, nbins_k, 1, np.pi * nmesh / lbox, False,
+        num_cells=nmesh, compensated=True, interlaced=False,
+    )
+    fused, n_gal = ball.run_hod_pk_fused(nmesh=nmesh, nbins_k=nbins_k)
+
+    for tracer in ('LRG', 'ELG'):
+        assert n_gal[tracer] == len(mock[tracer]['x']), tracer
+    for pair in ('LRG_LRG', 'LRG_ELG', 'ELG_ELG'):
+        r, f = np.asarray(ref[pair]).ravel(), np.asarray(fused[pair]).ravel()
+        good = np.asarray(ref[pair + '_modes']).ravel() > 0
+        np.testing.assert_allclose(f[good], r[good], rtol=2e-3, err_msg=pair)
+        np.testing.assert_array_equal(
+            np.asarray(fused[pair + '_modes']).ravel()[good],
+            np.asarray(ref[pair + '_modes']).ravel()[good],
+        )
+
+    # the stage is cached: a second call with different HOD params reuses it
+    tweaked = {
+        t: dict(ball.tracers[t]) for t in ball.tracers
+    }
+    tweaked['LRG']['logM_cut'] = tweaked['LRG']['logM_cut'] + 0.1
+    fused2, n_gal2 = ball.run_hod_pk_fused(
+        tracers=tweaked, nmesh=nmesh, nbins_k=nbins_k
+    )
+    assert n_gal2['LRG'] < n_gal['LRG']  # higher cut -> fewer LRGs
+
+
 def test_clustering_golden(prepared, testdata):
     """Value-level golden for the clustering wrappers on the Mini box mock
     (VERDICT r2 item 8): compute_xirppi / compute_wp / compute_multipole
