@@ -681,12 +681,14 @@ class AbacusHOD:
         n_tr = {}
         for tr in keys:
             d = mock_dict[tr]
-            pos = np.stack((d['x'], d['y'], d['z']), axis=1)
+            # SoA columns straight through — get_field stages on device,
+            # no host (N,3) stack (which would tile to (N,128) in HBM)
+            pos = (d['x'], d['y'], d['z'])
             ffts[tr] = get_field_fft(
                 pos, Lbox, num_cells, paste, d.get('w', None), W,
                 compensated, interlaced,
             )
-            n_tr[tr] = len(pos)
+            n_tr[tr] = len(d['x'])
         for i1, tr1 in enumerate(keys):
             d1 = mock_dict[tr1]
             for i2, tr2 in enumerate(keys):

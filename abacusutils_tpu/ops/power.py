@@ -503,39 +503,76 @@ def bin_kppi(n1d, L, kedges, pimax, Npi, weights, dtype=np.float32, fourier=True
 _PLANNED_PAINT_MIN_N = 500_000  # above this the MXU deposit beats scatter
 
 
+def _pos_columns(pos):
+    """(N,3) host/device array or a 3-sequence of columns -> three flat
+    float32 device columns (no host download for device inputs)."""
+    if isinstance(pos, (tuple, list)):
+        px, py, pz = pos
+    else:
+        if not isinstance(pos, jax.Array):
+            pos = np.asarray(pos, np.float32)
+        px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    return tuple(jnp.asarray(c, jnp.float32) for c in (px, py, pz))
+
+
+def _paint_staged(px, py, pz, Lbox, nmesh, w=None, offset=0.0):
+    """One-shot device-staged TSC paint: stage_grouped2d (multi-operand
+    device sort + padded expand, ~100x the host argsort+gather throughput)
+    feeding the y-blocked MXU deposit. Padded slots carry weight 0, so all
+    coordinate fills are 0.0 and the expand program's compile signature is
+    independent of the catalog size."""
+    from .grid import (
+        _paint_planned_yb_jit,
+        default_yblock,
+        deposit_chunk,
+        stage_grouped2d,
+    )
+
+    B = default_yblock(nmesh)
+    N = len(px)
+    w_col = (
+        jnp.ones(N, jnp.float32) if w is None else jnp.asarray(w, jnp.float32)
+    )
+    staged, K = stage_grouped2d(
+        [px, py, pz, w_col], nmesh, Lbox, B, fills=(0.0,) * 4,
+        offset=offset, chunk='auto',
+    )
+    ncell = nmesh * (nmesh // B)
+    xg, yg, zg, wg = (a.reshape(ncell, K) for a in staged)
+    return _paint_planned_yb_jit(
+        xg, yg, zg, wg, float(Lbox), float(offset), int(nmesh), B, K,
+        deposit_chunk(K),
+    )
+
+
 def get_field(pos, Lbox, nmesh, paste, w=None, d=0.0, nthread=None, dtype=np.float32):
     """Paint particles and normalize to overdensity (reference
     get_field:808-857; normalization uses len(pos) as the total weight).
 
     Large TSC paints route through the x-cell-grouped MXU deposit
     (ops.grid.paint_planned) instead of the 27-point scatter, which XLA
-    executes serially on TPU (agreement validated at rtol 3e-5)."""
+    executes serially on TPU (agreement validated at rtol 3e-5). Staging
+    happens on device (stage_grouped2d); jax.Array / SoA-tuple inputs are
+    never downloaded."""
+    n_pos = len(pos[0]) if isinstance(pos, (tuple, list)) else len(pos)
     if w is not None:
-        assert len(pos) == len(w)
+        assert n_pos == len(w)
     paste = paste.upper()
-    if paste == 'TSC' and len(pos) >= _PLANNED_PAINT_MIN_N:
-        from .grid import default_yblock, deposit_chunk, paint_planned2
-        from .grid_pallas import build_paint_plan2d
-
-        pos = np.asarray(pos)
-        B = default_yblock(nmesh)
-        # tight 128-aligned capacity, one tile per cell: the kernel's cost
-        # is proportional to padded slots, and pow2 rounding wasted ~25%
-        plan = build_paint_plan2d(
-            pos[:, 0], pos[:, 1], nmesh, Lbox, yb=B, offset=d, chunk='auto'
-        )
-        field = paint_planned2(
-            plan, pos[:, 0], pos[:, 1], pos[:, 2], weights=w,
-            chunk=deposit_chunk(plan.K),
-        )
+    if paste == 'TSC' and n_pos >= _PLANNED_PAINT_MIN_N:
+        px, py, pz = _pos_columns(pos)
+        field = _paint_staged(px, py, pz, Lbox, nmesh, w=w, offset=d)
     elif paste == 'TSC':
+        if isinstance(pos, (tuple, list)):
+            pos = jnp.stack(_pos_columns(pos), axis=1)
         field = paint_3d(pos, nmesh, Lbox, weights=w, offset=d, kind='tsc', wrap=True)
     elif paste == 'CIC':
+        if isinstance(pos, (tuple, list)):
+            pos = jnp.stack(_pos_columns(pos), axis=1)
         p = pos + d if d != 0.0 else pos
         field = paint_3d(p, nmesh, Lbox, weights=w, kind='cic', wrap=False)
     else:
         raise ValueError(f'Unknown pasting method: {paste}')
-    norm = jnp.float32(field.size / len(pos))
+    norm = jnp.float32(field.size / n_pos)
     return field * norm - jnp.float32(1.0)
 
 
@@ -828,12 +865,14 @@ def calc_power(
         compensated=compensated,
         interlaced=interlaced,
         poles=poles,
-        N_pos=len(pos),
+        N_pos=len(pos[0]) if isinstance(pos, (tuple, list)) else len(pos),
         is_weighted=w is not None,
         squeeze_mu_axis=squeeze_mu_axis,
     )
     if pos2 is not None:
-        meta['N_pos2'] = len(pos2)
+        meta['N_pos2'] = (
+            len(pos2[0]) if isinstance(pos2, (tuple, list)) else len(pos2)
+        )
         meta['is_weighted2'] = w2 is not None
 
     W = get_W_compensated(Lbox, nmesh, paste, interlaced) if compensated else None
@@ -889,20 +928,39 @@ def _spectrum_table(field_fft, field2_fft, Lbox, kbins, mubins, k_max, logk,
     return Table(res, meta=meta, copy=False)
 
 
+class _StagePlan:
+    """Geometry of one device-built (x-cell, y-block) deposit stage."""
+
+    def __init__(self, nmesh, yb, box, offset, K):
+        self.nmesh = nmesh
+        self.yb = yb
+        self.box = box
+        self.offset = offset
+        self.K = K
+
+
+@jax.jit
+def _combine_pad_idx(hi, lo):
+    """Recover int32 original-index layout from the two staged f32 halves."""
+    return hi.astype(jnp.int32) * 4096 + lo.astype(jnp.int32)
+
+
 class StagedPower:
     """Staging for repeated P(k) measurements of one catalog.
 
-    ``calc_power`` is a one-shot API: each call re-runs the host-side
-    paint grouping and re-transfers positions to the device, which dominates
-    wall time when it is called in a loop (parameter scans, many spectra of
-    one snapshot — the reference's numba paint re-reads host RAM every call
-    too, power_spectrum.py:1131-1319, but at PCIe-less cost). StagedPower
-    does the grouping and upload ONCE; each ``.power()`` call then runs only
+    ``calc_power`` is a one-shot API: each call re-uploads host positions
+    and re-runs the device grouping sort, which adds up when it is called
+    in a loop (parameter scans, many spectra of one snapshot — the
+    reference's numba paint re-reads host RAM every call too,
+    power_spectrum.py:1131-1319). StagedPower groups and uploads ONCE
+    (device staging via stage_grouped2d; accepts (N,3) host/device arrays
+    or an SoA (x, y, z) tuple); each ``.power()`` call then runs only
     jitted device work on the staged arrays.
 
     RSD loops: ``power(pz=...)`` overrides the z coordinates per call —
-    the (x-cell, y-block) paint grouping never depends on z, so only the
-    new z column is (re)staged. Pass a jax.Array to keep that on device.
+    the (x-cell, y-block) paint grouping never depends on z, so the new z
+    column is gathered into the staged layout on device (the original
+    index rides the staging as two exact f32 halves).
 
     ``interlaced=True`` stages the catalog twice (the half-cell-shifted
     paint has its own grouping) and each field_fft combines both paints;
@@ -911,58 +969,55 @@ class StagedPower:
 
     def __init__(self, pos, lbox, nmesh=256, w=None, paste='TSC',
                  interlaced=False):
-        from .grid import default_yblock
-        from .grid_pallas import build_paint_plan2d
+        from .grid import default_yblock, stage_grouped2d
 
         if paste.upper() != 'TSC':
             raise ValueError('StagedPower supports TSC paste only')
-        pos = np.asarray(pos)
+        px, py, pz = _pos_columns(pos)
         self.lbox = float(lbox)
         self.nmesh = int(nmesh)
-        self.n_part = len(pos)
+        self.n_part = N = int(len(px))
         self.interlaced = bool(interlaced)
         B = default_yblock(nmesh)
-        w_col = np.ones(self.n_part, np.float32) if w is None else w
+        w_col = (
+            jnp.ones(N, jnp.float32) if w is None
+            else jnp.asarray(w, jnp.float32)
+        )
+        # original index carried through the grouping as two f32 halves
+        # (each exact in f32 for any int32 N) so per-call z overrides can
+        # be gathered into the staged layout on device; padded slots keep
+        # index 0 — harmless, their staged weight is 0
+        iota = jnp.arange(N, dtype=jnp.int32)
+        ihi = (iota // 4096).astype(jnp.float32)
+        ilo = (iota % 4096).astype(jnp.float32)
         offsets = [0.0]
         if interlaced:
             offsets.append(0.5 * self.lbox / self.nmesh)
+        ncell = self.nmesh * (self.nmesh // B)
         self._stages = []
         for off in offsets:
-            # tight 128-aligned capacity, one tile per cell (per-stage
-            # chunk: the interlaced offset regroups cells)
-            plan = build_paint_plan2d(
-                pos[:, 0], pos[:, 1], nmesh, lbox, yb=B, offset=off,
-                chunk='auto',
+            # device staging (multi-operand sort + padded expand); tight
+            # 128-aligned capacity, one tile per cell (per-stage: the
+            # interlaced offset regroups cells)
+            staged, K = stage_grouped2d(
+                [px, py, pz, w_col, ihi, ilo], self.nmesh, self.lbox, B,
+                fills=(0.0,) * 6, offset=off, chunk='auto',
             )
-            pad = np.asarray(plan.pad_idx)  # (ncell, K) grouped layout
-
-            def stage(col, pad=pad):
-                ext = np.concatenate(
-                    [np.asarray(col, np.float32), np.zeros(1, np.float32)]
-                )
-                return jnp.asarray(ext[pad])
-
+            xg, yg, zg, wg, hi, lo = (a.reshape(ncell, K) for a in staged)
             self._stages.append({
-                'plan': plan, 'pad': pad, 'pad_dev': None,
-                'xg': stage(pos[:, 0]), 'yg': stage(pos[:, 1]),
-                'zg': stage(pos[:, 2]), 'wg': stage(w_col),
+                'plan': _StagePlan(self.nmesh, B, self.lbox, float(off), K),
+                'hi': hi, 'lo': lo, 'pad_dev': None,
+                'xg': xg, 'yg': yg, 'zg': zg, 'wg': wg,
             })
         self._is_weighted = w is not None
 
     def _staged_z(self, st, pz):
         if pz is None:
             return st['zg']
-        if isinstance(pz, jax.Array):
-            if st['pad_dev'] is None:
-                st['pad_dev'] = jnp.asarray(st['pad'])
-            ext = jnp.concatenate(
-                [pz.astype(jnp.float32), jnp.zeros(1, jnp.float32)]
-            )
-            return ext[st['pad_dev']]
-        ext = np.concatenate(
-            [np.asarray(pz, np.float32), np.zeros(1, np.float32)]
-        )
-        return jnp.asarray(ext[st['pad']])
+        if st['pad_dev'] is None:
+            st['pad_dev'] = _combine_pad_idx(st['hi'], st['lo'])
+        pz = jnp.asarray(pz, jnp.float32)
+        return pz[st['pad_dev']]
 
     def field_fft(self, compensated=True, pz=None):
         """Fourier overdensity of the staged catalog (optionally with a

@@ -329,3 +329,50 @@ def test_staged_power_interlaced():
     )
     npt.assert_array_equal(np.asarray(got['N_mode']), np.asarray(want['N_mode']))
     assert got.meta['interlaced'] is True
+
+
+def test_power_soa_and_device_inputs():
+    """calc_power / StagedPower accept an SoA (x, y, z) column tuple and
+    jax.Array inputs and produce results identical to the host (N,3) path
+    (the planned-deposit branch stages on device either way; device inputs
+    must never be downloaded)."""
+    import jax.numpy as jnp
+
+    from abacusutils_tpu.ops.power import StagedPower, calc_power
+
+    rng = np.random.default_rng(61)
+    # above _PLANNED_PAINT_MIN_N so the staged MXU deposit branch runs
+    n, nmesh, Lbox = 600_000, 32, 500.0
+    pos = (rng.random((n, 3)) * Lbox).astype(np.float32)
+
+    want = calc_power(
+        pos, Lbox, kbins=16, k_max=np.pi * nmesh / Lbox, nmesh=nmesh,
+        paste='TSC', compensated=True, interlaced=False,
+    )
+    soa = (pos[:, 0], pos[:, 1], pos[:, 2])
+    got_soa = calc_power(
+        soa, Lbox, kbins=16, k_max=np.pi * nmesh / Lbox, nmesh=nmesh,
+        paste='TSC', compensated=True, interlaced=False,
+    )
+    npt.assert_array_equal(
+        np.asarray(got_soa['power']), np.asarray(want['power'])
+    )
+
+    dev = jnp.asarray(pos)
+    got_dev = calc_power(
+        dev, Lbox, kbins=16, k_max=np.pi * nmesh / Lbox, nmesh=nmesh,
+        paste='TSC', compensated=True, interlaced=False,
+    )
+    npt.assert_array_equal(
+        np.asarray(got_dev['power']), np.asarray(want['power'])
+    )
+
+    s_soa = StagedPower(
+        tuple(jnp.asarray(c) for c in soa), Lbox, nmesh=nmesh
+    )
+    got_staged = s_soa.power(kbins=16)
+    s_np = StagedPower(pos, Lbox, nmesh=nmesh)
+    npt.assert_array_equal(
+        np.asarray(got_staged['power']),
+        np.asarray(s_np.power(kbins=16)['power']),
+    )
