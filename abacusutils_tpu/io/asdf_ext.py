@@ -14,10 +14,19 @@ import numpy as np
 
 from .blosc import ChunkedBloscDecoder, compress_chunk
 
+try:  # subclass the real asdf interfaces when asdf is installed, so the
+    # entry-point registration (pyproject "asdf.extensions") passes asdf's
+    # extension validation; plain objects otherwise
+    from asdf.extension import Compressor as _Compressor
+    from asdf.extension import Extension as _Extension
+except ImportError:  # pragma: no cover - asdf optional
+    _Compressor = object
+    _Extension = object
+
 __all__ = ['BloscCompressor', 'AbacusExtension']
 
 
-class BloscCompressor:
+class BloscCompressor(_Compressor):
     """Blosc compression as used by Abacus (reference data/asdf.py:23-183)."""
 
     @property
@@ -66,8 +75,13 @@ class BloscCompressor:
         return dec.decompress(buf, out)
 
 
-class AbacusExtension:
-    """Extension-registration shim (reference data/asdf.py:186-215)."""
+class AbacusExtension(_Extension):
+    """Extension-registration shim (reference data/asdf.py:186-215).
+
+    Registered with third-party ``asdf`` through the ``asdf.extensions``
+    entry point in pyproject.toml (reference pyproject.toml:44-45), so
+    ``asdf.open`` on any blsc-compressed file just works when asdf is
+    installed."""
 
     @property
     def extension_uri(self):

@@ -245,10 +245,6 @@ def cell_key_2d(px, py, nmesh, yb, box, offset=0.0, shift=0.0):
     jax.jit,
     static_argnames=('nmesh', 'yb', 'box', 'offset', 'xi', 'yi', 'shift'),
 )
-@partial(
-    jax.jit,
-    static_argnames=('nmesh', 'yb', 'box', 'offset', 'xi', 'yi', 'shift'),
-)
 def _stage_sort_by_cell(cols, nmesh, yb, box, offset, xi=0, yi=1, shift=0.0):
     """Device half 1 of the grouped-deposit staging: sort all columns by
     (x-cell, y-block) key in one multi-operand sort and return the sorted

@@ -506,7 +506,11 @@ _PLANNED_PAINT_MIN_N = 500_000  # above this the MXU deposit beats scatter
 def _pos_columns(pos):
     """(N,3) host/device array or a 3-sequence of columns -> three flat
     float32 device columns (no host download for device inputs)."""
-    if isinstance(pos, (tuple, list)):
+    if (
+        isinstance(pos, (tuple, list))
+        and len(pos) == 3
+        and np.ndim(pos[0]) == 1
+    ):
         px, py, pz = pos
     else:
         if not isinstance(pos, jax.Array):
@@ -1014,6 +1018,11 @@ class StagedPower:
     def _staged_z(self, st, pz):
         if pz is None:
             return st['zg']
+        if len(pz) != self.n_part:
+            raise ValueError(
+                f'pz override has {len(pz)} entries for a stage of '
+                f'{self.n_part} particles'
+            )
         if st['pad_dev'] is None:
             st['pad_dev'] = _combine_pad_idx(st['hi'], st['lo'])
         pz = jnp.asarray(pz, jnp.float32)

@@ -349,6 +349,21 @@ def test_write_asdf_roundtrip(tmp_path, compression):
         assert af['scalars'] == [1, 2.5, 'three']
 
 
+def test_third_party_asdf_reads_blsc(tmp_path):
+    """Third-party asdf must auto-register the blsc codec via the
+    `asdf.extensions` entry point (pyproject) and read a write_asdf file.
+    Skips when asdf isn't installed (reference pyproject.toml:44-45)."""
+    asdf = pytest.importorskip('asdf')
+    from abacusutils_tpu.io import write_asdf
+
+    rng = np.random.default_rng(3)
+    arr = rng.normal(size=4096).astype(np.float32)
+    fn = tmp_path / 'ext.asdf'
+    write_asdf(fn, {'data': {'x': arr}}, compression='blsc')
+    with asdf.open(str(fn)) as af:
+        npt.assert_array_equal(np.asarray(af['data']['x']), arr)
+
+
 def test_subsamples_string_rejected(example_sim):
     # subsamples='A' (a plausible typo for dict(A=True)) must fail loudly,
     # not silently load zero particles (the reference dies with an
