@@ -736,6 +736,7 @@ class AbacusHOD:
         yb=None,
         reseed=None,
         compensated=True,
+        mesh=None,
     ):
         """Populate + TSC paint + FFT + every tracer auto/cross P(k)
         monopole as ONE jitted device program — the fused counterpart of
@@ -746,16 +747,22 @@ class AbacusHOD:
         Population physics is shared statement-for-statement with
         ``run_hod`` (the marker kernels in .population: shapes, priority
         stacking, ELG conformity via the staged particle->halo link,
-        velocity bias), so the realized galaxy set is identical for the
-        same pre-attached randoms. Not supported in the fused path:
-        light-cone RSD, NFW satellites, and velocity-rank decorations
-        (want_ranks) — use ``run_hod`` + ``compute_power`` for those.
+        velocity bias, want_ranks rank decorations), so the realized
+        galaxy set is identical for the same pre-attached randoms. Not
+        supported in the fused path: light-cone RSD and NFW satellites —
+        use ``run_hod`` + ``compute_power`` for those.
 
         The grouped device stage is cached across calls (same nmesh/yb and
         randoms), so repeated calls with new HOD parameters pay only the
         ~0.1 s/tracer device step. Returns ``(clustering, n_gal)`` with
         the ``compute_power`` key schema ('{t1}_{t2}', '{t1}_{t2}_modes',
-        'k_binc') and per-tracer galaxy counts."""
+        'k_binc') and per-tracer galaxy counts.
+
+        Pass a `jax.sharding.Mesh` as ``mesh`` to run the identical fused
+        program sharded over its devices (parallel.mesh.
+        hod_pk_fused_sharded: x-slab cell shards, int8 conformity
+        all_gather, ICI grid psum) — bin-for-bin the same spectra and
+        galaxy counts, scaled across chips."""
         import jax.numpy as jnp
 
         from ..pipeline import (
@@ -779,11 +786,6 @@ class AbacusHOD:
             raise RuntimeError(
                 'Secondary redshifts have no particle subsamples; the fused '
                 'path needs particle-based satellites'
-            )
-        if self.want_ranks:
-            raise NotImplementedError(
-                'velocity-rank decorations are not in the fused populate; '
-                'use run_hod + compute_power'
             )
         if reseed:
             self._reseed_randoms(reseed)
@@ -822,6 +824,15 @@ class AbacusHOD:
             if self.want_shear:
                 halo['shear'] = hd['hshear']
                 part['shear'] = pd['pshear']
+            if self.want_ranks:
+                # rank decorations are elementwise multipliers on the staged
+                # satellite rate (reference GRAND_HOD.py:1042-1050); padded
+                # slots keep rank 0 and populate nothing (randoms=2)
+                for k, col in (
+                    ('ranks', 'pranks'), ('ranksv', 'pranksv'),
+                    ('ranksp', 'pranksp'), ('ranksr', 'pranksr'),
+                ):
+                    part[k] = np.asarray(pd[col], np.float32)
             halo_g, part_g, plan_h, plan_p = group_inputs2d_linked_device(
                 halo, part, nmesh, lbox, yb=yb, chunk='auto'
             )
@@ -839,12 +850,22 @@ class AbacusHOD:
         tp = prepare_tracer_params(
             {t: tracers[t] for t in want}, self.params['z']
         )
-        spectra, ng = hod_pk_fused_multi(
-            halo_g, part_g, tp, binplan, Wcomp, lbox,
-            float(self.params['velz2kms']), want, int(nmesh), int(yb),
-            int(nbins_k), K_h, K_p, rsd=bool(want_rsd),
-            chunk_h=deposit_chunk(K_h), chunk_p=deposit_chunk(K_p),
-        )
+        if mesh is not None:
+            from ...parallel.mesh import hod_pk_fused_sharded
+
+            spectra, ng = hod_pk_fused_sharded(
+                mesh, halo_g, part_g, tp, binplan, Wcomp, lbox,
+                float(self.params['velz2kms']), want, int(nmesh), int(yb),
+                int(nbins_k), K_h, K_p, rsd=bool(want_rsd),
+                chunk_h=deposit_chunk(K_h), chunk_p=deposit_chunk(K_p),
+            )
+        else:
+            spectra, ng = hod_pk_fused_multi(
+                halo_g, part_g, tp, binplan, Wcomp, lbox,
+                float(self.params['velz2kms']), want, int(nmesh), int(yb),
+                int(nbins_k), K_h, K_p, rsd=bool(want_rsd),
+                chunk_h=deposit_chunk(K_h), chunk_p=deposit_chunk(K_p),
+            )
 
         from ...ops.power import get_k_mu_edges
 

@@ -140,6 +140,19 @@ def _cent_core(
     return keep, out
 
 
+def _rank_multiplier(p, part):
+    """Velocity/distance rank decoration factor on the satellite rate
+    (reference GRAND_HOD.py:1042-1050); `part` carries the staged
+    ranks/ranksv/ranksp/ranksr columns."""
+    return (
+        1
+        + p['s'] * part['ranks']
+        + p['s_v'] * part['ranksv']
+        + p['s_p'] * part['ranksp']
+        + p['s_r'] * part['ranksr']
+    )
+
+
 @partial(jax.jit, static_argnames=('want', 'rsd', 'has_origin', 'enable_ranks'))
 def _sat_core(
     ppos, pvel, hvel, hmass, weights, randoms, deltac, fenv, shear,

@@ -463,14 +463,9 @@ def group_inputs2d_linked_device(halo, part, nmesh, lbox, yb=16, chunk=512):
     return halo_g, part_g, plan_h, plan_p
 
 
-def populate_weights_multi(halo, part, params, want, rsd, inv_velz2kms):
-    """Multi-tracer populate pass (SoA): priority keep codes over stacked
-    markers (one random per object, reference gen_cent GRAND_HOD.py:213-252 /
-    gen_sats :948-1095) and per-tracer RSD z. `params` maps tracer ->
-    param dict (prepare_tracer_params defaults); satellites see their host's
-    central keep code through part['hkeep_at'] (index into the halo layout)
-    for ELG conformity. Returns {tracer: (z_c, w_c, z_s, w_s)} and the
-    central keep codes."""
+def _cent_codes(halo, params, want):
+    """Central priority keep codes over stacked tracer markers (one random
+    per halo, reference gen_cent GRAND_HOD.py:213-252)."""
     from ..models.hod.population import TRACER_ORDER
 
     marker = jnp.zeros_like(halo['mass'])
@@ -486,8 +481,16 @@ def populate_weights_multi(halo, part, params, want, rsd, inv_velz2kms):
         keep_c = jnp.where(
             (keep_c == 0) & (halo['randoms'] <= marker), jnp.int8(code), keep_c
         )
+    return keep_c
 
-    keep_cent_p = keep_c.reshape(-1)[part['hkeep_at']]
+
+def _sat_codes(part, params, want, keep_cent_p):
+    """Satellite priority keep codes (reference gen_sats GRAND_HOD.py:948-
+    1095); `keep_cent_p` is each particle's host-central code (conformity).
+    Rank decorations multiply the base rate when the staged columns are
+    present (reference GRAND_HOD.py:1042-1050)."""
+    from ..models.hod.population import TRACER_ORDER, _rank_multiplier
+
     marker = jnp.zeros_like(part['hmass'])
     keep_s = jnp.zeros(part['hmass'].shape, jnp.int8)
     for code, tracer in enumerate(TRACER_ORDER, 1):
@@ -498,10 +501,20 @@ def populate_weights_multi(halo, part, params, want, rsd, inv_velz2kms):
             tracer, p, part['hmass'], part['deltac'], part['fenv'],
             part.get('shear', 0.0), keep_cent_p,
         )
-        marker = marker + base * part['weights'] * p['ic']
+        base = base * part['weights'] * p['ic']
+        if 'ranks' in part:
+            # multiply AFTER weights*ic, matching _sat_core's f32 rounding
+            base = base * _rank_multiplier(p, part)
+        marker = marker + base
         keep_s = jnp.where(
             (keep_s == 0) & (part['randoms'] <= marker), jnp.int8(code), keep_s
         )
+    return keep_s
+
+
+def _tracer_zw(halo, part, params, want, rsd, inv_velz2kms, keep_c, keep_s):
+    """Per-tracer RSD z + 0/1 keep weights from the priority codes."""
+    from ..models.hod.population import TRACER_ORDER
 
     out = {}
     for code, tracer in enumerate(TRACER_ORDER, 1):
@@ -515,6 +528,21 @@ def populate_weights_multi(halo, part, params, want, rsd, inv_velz2kms):
         z_s = part['z'] + (vz_s * inv_velz2kms if rsd else 0.0)
         w_s = (keep_s == code).astype(jnp.float32)
         out[tracer] = (z_c, w_c, z_s, w_s)
+    return out
+
+
+def populate_weights_multi(halo, part, params, want, rsd, inv_velz2kms):
+    """Multi-tracer populate pass (SoA): priority keep codes over stacked
+    markers (one random per object, reference gen_cent GRAND_HOD.py:213-252 /
+    gen_sats :948-1095) and per-tracer RSD z. `params` maps tracer ->
+    param dict (prepare_tracer_params defaults); satellites see their host's
+    central keep code through part['hkeep_at'] (index into the halo layout)
+    for ELG conformity. Returns {tracer: (z_c, w_c, z_s, w_s)} and the
+    central keep codes."""
+    keep_c = _cent_codes(halo, params, want)
+    keep_cent_p = keep_c.reshape(-1)[part['hkeep_at']]
+    keep_s = _sat_codes(part, params, want, keep_cent_p)
+    out = _tracer_zw(halo, part, params, want, rsd, inv_velz2kms, keep_c, keep_s)
     return out, keep_c
 
 

@@ -482,7 +482,7 @@ def paint_grouped_yb(gridp, xg, yg, zg, wg, box, offset, nmesh, B, K2, chunk=819
     )
 
 
-def paint_grouped_yb_multi(gridp, groups, box, offset, nmesh, B):
+def paint_grouped_yb_multi(gridp, groups, box, offset, nmesh, B, cell0=0):
     """paint_grouped_yb over SEVERAL grouped catalogs sharing one grid.
 
     `groups` is a list of (xg, yg, zg, wg, K, chunk) tuples, each in the
@@ -493,9 +493,15 @@ def paint_grouped_yb_multi(gridp, groups, box, offset, nmesh, B):
     instead of once per catalog — the dominant per-slot overhead for
     low-occupancy catalogs (halo paint: 3.8 vs 2.7 ns/slot measured).
     Replaces the reference's per-catalog tsc_parallel calls
-    (analysis/tsc.py:10-206) in the fused HOD+P(k) step."""
+    (analysis/tsc.py:10-206) in the fused HOD+P(k) step.
+
+    `cell0` (may be traced, e.g. a shard_map axis_index offset) shifts the
+    global cell id of row 0: group arrays then hold a contiguous slab
+    [cell0, cell0 + ncell) of the full (x-cell, y-block) layout, for
+    sharded paints where each chip deposits its slab into a local grid.
+    Must be a multiple of nmesh//B (x-cell aligned)."""
     nyb = nmesh // B
-    ncell = nmesh * nyb
+    ncell = int(groups[0][0].shape[0])
 
     # u8 iota-compare for the WIDE z one-hot only (4 indices per f32 VPU
     # lane; 14% faster at 50M, scripts/tsc/bench_deposit_variants.py).
@@ -511,8 +517,9 @@ def paint_grouped_yb_multi(gridp, groups, box, offset, nmesh, B):
         colsZ = colsZ.astype(jnp.uint8)
 
     def cell_body(c, gridp):
-        cx = c // nyb
-        y0 = (c % nyb) * B
+        cg = c + cell0
+        cx = cg // nyb
+        y0 = (cg % nyb) * B
         D = jnp.zeros((3 * (B + 2), nmesh), jnp.float32)
 
         for xg, yg, zg, wg, K2, chunk in groups:
@@ -564,11 +571,15 @@ def paint_grouped_yb_multi(gridp, groups, box, offset, nmesh, B):
 
         D = D.reshape(3, B + 2, nmesh)
         # padded y rows [y0, y0+B+2) hold real y in [y0-1, y0+B+1)
+        y0_i = jnp.asarray(y0, jnp.int32)
+        z0_i = jnp.zeros((), jnp.int32)
         for o in range(3):
-            plane = jnp.mod(cx + o - 1, nmesh)
-            row = jax.lax.dynamic_slice(gridp, (plane, y0, 0), (1, B + 2, nmesh))
+            plane = jnp.asarray(jnp.mod(cx + o - 1, nmesh), jnp.int32)
+            row = jax.lax.dynamic_slice(
+                gridp, (plane, y0_i, z0_i), (1, B + 2, nmesh)
+            )
             gridp = jax.lax.dynamic_update_slice(
-                gridp, row + D[o][None], (plane, y0, 0)
+                gridp, row + D[o][None], (plane, y0_i, z0_i)
             )
         return gridp
 

@@ -21,6 +21,7 @@ from ..models.pipeline import _paint_weighted, populate_weights
 __all__ = [
     'make_mesh',
     'sharded_hod_pk',
+    'hod_pk_fused_sharded',
     'shard_particles',
     'calc_power_sharded',
     'pair_counts_rppi_sharded',
@@ -107,6 +108,140 @@ def sharded_hod_pk(
 
     wsum, n_gal = step(halo, part, params, plan.seg)
     return wsum, jnp.asarray(np.asarray(plan.counts).reshape(-1)), n_gal
+
+
+def hod_pk_fused_sharded(
+    mesh, halo_g, part_g, params, binplan, Wcomp, lbox, velz2kms,
+    want, nmesh, B, nbins_k, K_h, K_p, rsd=True, chunk_h=8192, chunk_p=8192,
+    axis='data',
+):
+    """The flagship multi-tracer fused pipeline (models.pipeline.
+    hod_pk_fused_multi: priority-stacked populate with ELG conformity,
+    grouped-MXU TSC deposit, FFT, all-pair auto/cross P(k)) under
+    `shard_map` over a device mesh.
+
+    Inputs are the SAME globally (x-cell, y-block of B) grouped flat arrays
+    that feed the single-device program (group_inputs2d_linked[_device]),
+    sharded over the leading cell axis — each chip owns a contiguous x-slab
+    of whole cells (requires nmesh % n_devices == 0). Cross-chip traffic is
+    exactly two collectives per step (SURVEY.md §2.7's chunked-sharding
+    mapping, reference abacus_hod.py:97-100):
+
+    - an int8 all_gather of the central keep codes (the ELG conformity
+      link `keep_cent[pinds]`, reference GRAND_HOD.py:1006-1035, reads the
+      host halo's code, which can sit in a neighboring x-slab), ~1 byte per
+      halo slot;
+    - a psum of each tracer's grid deposit over ICI (TSC clouds of
+      slab-edge cells straddle the shard boundary).
+
+    n_gal psums ride the same reductions. The FFT + one-hot mode binning
+    run replicated on the reduced grid (cheap vs the deposit; the slab-FFT
+    route in parallel.fft covers the nmesh >= 512 regime). Returns
+    ({(t1, t2): wsum}, {tracer: n_gal}) exactly like hod_pk_fused_multi —
+    bin-for-bin equal to the single-device program up to f32 summation
+    order at shard boundaries."""
+    from ..models.pipeline import _cent_codes, _sat_codes, _tracer_zw
+    from ..ops.grid import fold_ypad, paint_grouped_yb_multi
+    from ..ops.power import _segsum_matmul
+
+    ndev = mesh.shape[axis]
+    nyb = nmesh // B
+    ncell = nmesh * nyb
+    if nmesh % ndev:
+        raise ValueError(
+            f'nmesh={nmesh} must be divisible by the {ndev}-device mesh so '
+            'shards hold whole x-slabs of cells'
+        )
+    ncell_l = ncell // ndev
+    want = tuple(want)
+    pairs = tuple((t1, t2) for i, t1 in enumerate(want) for t2 in want[i:])
+
+    halo_spec = {k: P(axis) for k in halo_g}
+    part_spec = {k: P(axis) for k in part_g}
+    params_spec = jax.tree.map(lambda _: P(), params)
+    bin_spec = jax.tree.map(lambda _: P(), binplan)
+    has_comp = Wcomp is not None
+    in_specs = (halo_spec, part_spec, params_spec, bin_spec)
+    if has_comp:
+        in_specs = in_specs + (P(),)
+    out_specs = ({pr: P() for pr in pairs}, {t: P() for t in want})
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,  # scan carry init in _segsum_matmul is unvarying
+    )
+    def step(halo_l, part_l, params_l, binplan_l, *wc):
+        Wc = wc[0] if has_comp else None
+        cell0 = jax.lax.axis_index(axis) * ncell_l
+        inv_velz2kms = 1.0 / velz2kms
+
+        keep_c = _cent_codes(halo_l, params_l, want)
+        # conformity: host halos of slab-edge particles live in the
+        # neighboring shard — gather the (tiny, int8) keep codes globally
+        keep_c_glob = jax.lax.all_gather(keep_c, axis, tiled=True)
+        keep_cent_p = keep_c_glob[part_l['hkeep_at']]
+        keep_s = _sat_codes(part_l, params_l, want, keep_cent_p)
+        tr = _tracer_zw(
+            halo_l, part_l, params_l, want, rsd, inv_velz2kms, keep_c, keep_s
+        )
+
+        half_l = jnp.float32(lbox) / 2
+        (seg,) = binplan_l
+        deltas, n_gal = {}, {}
+        for tracer in want:
+            z_c, w_c, z_s, w_s = tr[tracer]
+            ng = jax.lax.psum(w_c.sum() + w_s.sum(), axis)
+            gridp = jnp.zeros((nmesh, nmesh + 2, nmesh), jnp.float32)
+            gridp = paint_grouped_yb_multi(
+                gridp,
+                [
+                    (
+                        (halo_l['x'] + half_l).reshape(ncell_l, K_h),
+                        (halo_l['y'] + half_l).reshape(ncell_l, K_h),
+                        (z_c + half_l).reshape(ncell_l, K_h),
+                        w_c.reshape(ncell_l, K_h),
+                        K_h, chunk_h,
+                    ),
+                    (
+                        (part_l['x'] + half_l).reshape(ncell_l, K_p),
+                        (part_l['y'] + half_l).reshape(ncell_l, K_p),
+                        (z_s + half_l).reshape(ncell_l, K_p),
+                        w_s.reshape(ncell_l, K_p),
+                        K_p, chunk_p,
+                    ),
+                ],
+                lbox, 0.0, nmesh, B, cell0=cell0,
+            )
+            # the one bulk cross-chip dependency: grid deposits ride ICI
+            grid = jax.lax.psum(fold_ypad(gridp, nmesh), axis)
+            delta = grid * (grid.size / ng) - 1.0
+            delta_k = jnp.fft.rfftn(delta) * jnp.float32(1.0 / grid.size)
+            if Wc is not None:
+                delta_k = delta_k / (
+                    Wc[:, None, None]
+                    * Wc[None, :, None]
+                    * Wc[None, None, : nmesh // 2 + 1]
+                )
+            deltas[tracer] = delta_k
+            n_gal[tracer] = ng
+
+        spectra = {}
+        for t1, t2 in pairs:
+            p3d = (deltas[t1] * jnp.conj(deltas[t2])).real
+            spectra[(t1, t2)] = _segsum_matmul(
+                p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1,
+                even=(nmesh % 2 == 0),
+            )
+        return spectra, n_gal
+
+    args = (halo_g, part_g, params, binplan)
+    if has_comp:
+        args = args + (Wcomp,)
+    return step(*args)
 
 
 def _assemble_power_output(
