@@ -181,26 +181,23 @@ def apply_zcv_xi(ball, mock_dict, config, load_presaved=False):
             )
 
     if not load_presaved:
-        for tr in mock_dict.keys():
-            tracer_pos = np.vstack(
-                (mock_dict[tr]['x'], mock_dict[tr]['y'], mock_dict[tr]['z'])
-            ).T.astype(np.float32)
-            del mock_dict
-            gc.collect()
-            pk_rsd_tr_fns = get_tracer_power(
-                tracer_pos, config['HOD_params']['want_rsd'], config, save_3D_power=True
-            )
+        (tr,) = list(mock_dict)
+        tracer_pos = _tracer_pos(mock_dict.pop(tr))
+        del mock_dict
+        gc.collect()
+        pk_rsd_tr_fns = get_tracer_power(
+            tracer_pos, config['HOD_params']['want_rsd'], config, save_3D_power=True
+        )
         if config['HOD_params']['want_rsd']:
-            mock_dict = ball.run_hod(
+            # real-space repopulation of the SAME tracer for the bias fit
+            # (ball.tracers may configure more than the one being reduced)
+            mock_real = ball.run_hod(
                 ball.tracers, want_rsd=False, reseed=None, write_to_disk=False
             )
-            for tr in mock_dict.keys():
-                tracer_pos = np.vstack(
-                    (mock_dict[tr]['x'], mock_dict[tr]['y'], mock_dict[tr]['z'])
-                ).T.astype(np.float32)
-                del mock_dict
-                gc.collect()
-                pk_tr_fns = get_tracer_power(tracer_pos, False, config, save_3D_power=True)
+            tracer_pos = _tracer_pos(mock_real[tr])
+            del mock_real
+            gc.collect()
+            pk_tr_fns = get_tracer_power(tracer_pos, False, config, save_3D_power=True)
         else:
             pk_tr_fns, pk_ij_fns = None, None
 

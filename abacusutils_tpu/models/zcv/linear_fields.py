@@ -65,6 +65,7 @@ def main(path2config, alt_simname=None, save_3D_power=False):
 
     header = {'sim_name': sim_name, 'Lbox': Lbox, 'nmesh': nmesh, 'kcut': kcut}
     pk_lin_dict = {'k_binc': k_binc, 'mu_binc': mu_binc}
+    power_lin_fns = []
     for i in range(len(keynames)):
         for j in range(len(keynames)):
             if i < j:
@@ -76,6 +77,7 @@ def main(path2config, alt_simname=None, save_3D_power=False):
                     dtype=np.float32,
                 )
                 fn = save_z_dir / f'power_{keynames[i]}_{keynames[j]}_lin_nmesh{nmesh:d}.asdf'
+                power_lin_fns.append(fn)
                 compress_asdf(str(fn), {f'P_k3D_{keynames[i]}_{keynames[j]}': pk3d}, header)
             else:
                 P = calc_pk_from_deltak(
@@ -88,6 +90,10 @@ def main(path2config, alt_simname=None, save_3D_power=False):
                 pk_lin_dict[f'P_ell_{key}'] = np.asarray(P['binned_poles'])
                 pk_lin_dict[f'N_ell_{key}'] = np.asarray(P['N_mode_poles'])
 
+    if save_3D_power:
+        # pair order [delta_delta, deltamu2_delta, deltamu2_deltamu2] —
+        # the layout combine_field_spectra_k3D_lcv indexes (run_lcv_field)
+        return power_lin_fns
     compress_asdf(str(power_lin_fn), pk_lin_dict, header)
     return pk_lin_dict
 

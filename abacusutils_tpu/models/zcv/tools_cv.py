@@ -201,12 +201,23 @@ def multipole_cov(pell, ell):
 
 def measure_2pt_bias(k, pk_ij, pk_tt, kmax, keynames, kmin=0.0, rsd=False):
     """Least-squares fit of (b1, b2, bs, bn, sn) to the real-space tracer
-    spectrum using the field templates."""
+    spectrum using the field templates.
+
+    The data are normalized to unit scale before the minimization and the
+    fitted shot-noise is scaled back: the loss is scale-invariant in the
+    spectra but `sn` is in data units, so the raw problem (reference
+    tools_cv.py:277-310) conditions BFGS differently in physical vs
+    volume-normalized units — the k-level and 3D-field-level flows feed
+    the SAME monopoles in different units and must land on the same
+    minimum."""
     kidx_max = k.searchsorted(kmax)
     kidx_min = max(k.searchsorted(kmin), 1)
     kcut = k[kidx_min:kidx_max]
-    pk_tt_kcut = pk_tt[kidx_min:kidx_max]
-    pk_ij_kcut = pk_ij[:, kidx_min:kidx_max]
+    scale = np.mean(np.abs(pk_tt[kidx_min:kidx_max]))
+    if not (np.isfinite(scale) and scale > 0):
+        scale = 1.0
+    pk_tt_kcut = pk_tt[kidx_min:kidx_max] / scale
+    pk_ij_kcut = pk_ij[:, kidx_min:kidx_max] / scale
 
     bvec0 = np.zeros(len(keynames))
 
@@ -219,7 +230,9 @@ def measure_2pt_bias(k, pk_ij, pk_tt, kmax, keynames, kmin=0.0, rsd=False):
         )
         return np.sum((pk_tt_kcut - model) ** 2 / (2 * pk_tt_kcut**2))
 
-    return minimize(loss, bvec0)
+    fit = minimize(loss, bvec0)
+    fit['x'][-1] *= scale  # sn back to data units
+    return fit
 
 
 def measure_2pt_bias_lcv(

@@ -430,6 +430,57 @@ def test_zcv_smoke(prepared, testdata, tmp_path):
     )
 
 
+def test_apply_zcv_xi_end_to_end(prepared, tmp_path):
+    """Drive the public xi-level CV surface (AbacusHOD.apply_zcv_xi ->
+    run_zcv_field -> pk_to_xi, reference abacus_hod.py:1663-1824) end to
+    end on a SELF-CONSISTENT synthetic zcv fixture (the bundled data_zcv
+    cannot exercise the field level, see test_zcv.py docstring). The
+    measured tracer multipoles inside the flow are pinned against an
+    independent calc_power of the same galaxies."""
+    import copy
+
+    from common import make_synthetic_zcv_dir
+
+    from abacusutils_tpu.ops.power import calc_power
+
+    config = copy.deepcopy(prepared)
+    ball = AbacusHOD(
+        config['sim_params'], config['HOD_params'], config['clustering_params']
+    )
+    zcfg, _ = make_synthetic_zcv_dir(tmp_path / 'zcv')
+    config['sim_params']['sim_name'] = zcfg['sim_params']['sim_name']
+    config['sim_params']['z_mock'] = zcfg['sim_params']['z_mock']
+    config['HOD_params']['want_rsd'] = True
+    config['zcv_params'] = dict(zcfg['zcv_params'])
+    config['zcv_params']['fields'] = ['1cb', 'delta']  # unique fit minimum
+    config['power_params'] = dict(zcfg['power_params'])
+
+    mock_dict = ball.run_hod(ball.tracers, want_rsd=True, write_to_disk=False)
+    zcv_dict = ball.apply_zcv_xi({'LRG': dict(mock_dict['LRG'])}, config)
+
+    nmesh = zcfg['zcv_params']['nmesh']
+    assert np.isfinite(np.asarray(zcv_dict['Xi_tr_tr_ell_zcv'])).all()
+    assert np.isfinite(np.asarray(zcv_dict['Xi_tr_tr_ell'])).all()
+    assert np.isfinite(np.asarray(zcv_dict['Pk_tr_tr_ell_zcv'])).all()
+    assert len(np.asarray(zcv_dict['k_binc'])) == nmesh // 2
+    assert 'rho_tr_ZD' in zcv_dict and 'bias' in zcv_dict
+
+    # the flow's measured tracer multipoles == an independent calc_power
+    # of the same galaxies (same paint settings, 2000 Mpc/h metadata box)
+    lbox = 2000.0
+    pos = np.vstack(
+        [mock_dict['LRG'][c] for c in ('x', 'y', 'z')]
+    ).T.astype(np.float32)
+    ref = calc_power(
+        pos, lbox, kbins=nmesh // 2, k_max=np.pi * nmesh / lbox,
+        nmesh=nmesh, paste='TSC', compensated=True, interlaced=True,
+        poles=(0, 2, 4), logk=False,
+    )
+    got = np.asarray(zcv_dict['Pk_tr_tr_ell'])
+    want = np.asarray(ref['poles']).T.reshape(got.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5 * np.abs(want).max())
+
+
 def test_zcv_with_native_templates(prepared, testdata, tmp_path):
     """Full ZCV chain on templates GENERATED in-repo: delete the fixture's
     presaved zenbu npz, regenerate it with zenbu_window.main (native ZA

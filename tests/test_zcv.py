@@ -168,6 +168,201 @@ def test_lcv_end_to_end(tmp_path, rec_algo):
     assert 'rho_tr_lf' in lcv_dict
 
 
+def test_zcv_field_vs_k_level(tmp_path):
+    """The 3D-field ZCV flow (run_zcv_field, feeding apply_zcv_xi) against
+    the k-level flow (run_zcv) on IDENTICAL self-consistent synthetic
+    inputs: the measured/model/cross pole stacks, the bias fit, and rho
+    must agree bin-for-bin (both flows reduce the same linear
+    combinations, so projection commutes), and the reduced spectrum must
+    agree up to the documented algorithmic difference (the field flow
+    expands beta(|k|) to 3D before subtracting; reference
+    tools_cv.py:727-946 vs :534-724)."""
+    from common import make_synthetic_zcv_dir
+
+    from abacusutils_tpu.models.zcv import tools_cv, tracer_power
+
+    config, _ = make_synthetic_zcv_dir(tmp_path / 'zcv')
+    # restrict the bias fit to (b1, sn): with all 5 fields the quadratic
+    # templates of a near-linear synthetic IC are mutually degenerate and
+    # scipy's unpreconditioned minimize lands in input-dependent runaways
+    # (the reference has the same behavior); 2 fields keep every loop in
+    # both flows exercised while making the fit minimum unique
+    config['zcv_params']['fields'] = ['1cb', 'delta']
+    nmesh = config['zcv_params']['nmesh']
+    sim = config['sim_params']['sim_name']
+    save_z_dir = (
+        tmp_path / 'zcv' / sim / f'z{config["sim_params"]["z_mock"]:.3f}'
+    )
+    keynames = config['zcv_params']['fields']
+
+    rng = np.random.default_rng(77)
+    lbox = 2000.0
+    # sample tracers proportionally to the IC overdensity so the quadratic
+    # bias fit is well conditioned (both flows must land on the same
+    # minimum for the value-level cross-checks below)
+    from abacusutils_tpu.io.asdf_file import open_asdf
+
+    with open_asdf(tmp_path / 'zcv' / sim / f'ic_filt_nmesh{nmesh}.asdf') as f:
+        dens = np.asarray(f['data']['dens'])
+    w = np.clip(1.0 + 0.7 * dens / dens.std(), 0.05, None).ravel()
+    cells = rng.choice(w.size, size=6000, p=w / w.sum())
+    ix, iy, iz = np.unravel_index(cells, (nmesh,) * 3)
+    pos = (
+        (np.stack([ix, iy, iz], axis=1) + rng.random((6000, 3)))
+        * (lbox / nmesh)
+        - lbox / 2
+    ).astype(np.float32)
+
+    # binned dicts for the k-level flow (rsd + real space)
+    pk_rsd_tr_dict = tracer_power.get_tracer_power(pos, True, config)
+    pk_tr_dict = tracer_power.get_tracer_power(pos, False, config)
+    pk_rsd_ij_dict = open_asdf(save_z_dir / f'power_rsd_ij_nmesh{nmesh}.asdf')['data']
+    pk_ij_dict = open_asdf(save_z_dir / f'power_ij_nmesh{nmesh}.asdf')['data']
+    zk = tools_cv.run_zcv(
+        pk_rsd_tr_dict, pk_rsd_ij_dict, pk_tr_dict, pk_ij_dict, config
+    )
+
+    # 3D cubes for the field-level flow (same tracer, same advected fields)
+    pk_rsd_tr_fns = tracer_power.get_tracer_power(
+        pos, True, config, save_3D_power=True
+    )
+    pk_tr_fns = tracer_power.get_tracer_power(
+        pos, False, config, save_3D_power=True
+    )
+    def ij_fns(rsd_str):
+        return [
+            save_z_dir / f'power{rsd_str}_{keynames[i]}_{keynames[j]}_nmesh{nmesh}.asdf'
+            for i in range(len(keynames)) for j in range(i + 1)
+        ]
+    zf = tools_cv.run_zcv_field(
+        pk_rsd_tr_fns, ij_fns('_rsd'), pk_tr_fns, ij_fns(''), config
+    )
+
+    # linear reductions commute with projection: measured, model, and cross
+    # pole stacks and the bias fit agree between the two flows (the fit
+    # inputs differ only by f32 projection rounding; scipy minimize then
+    # reconverges to the same well-conditioned minimum)
+    bk, bf = np.asarray(zk['bias']), np.asarray(zf['bias'])
+    npt.assert_allclose(bf[:-1], bk[:-1], rtol=1e-3, atol=1e-6)
+    # each flow reports the fitted shot-noise in its own data units
+    # (physical vs volume-normalized): they differ by exactly Lbox^3
+    npt.assert_allclose(bk[-1] / bf[-1], lbox**3, rtol=1e-2)
+    for key, rtol in (
+        ('Pk_tr_tr_ell', 2e-4), ('Pk_ZD_ZD_ell', 2e-3), ('Pk_tr_ZD_ell', 2e-3),
+    ):
+        a, b = np.asarray(zk[key]), np.asarray(zf[key])
+        npt.assert_allclose(
+            b, a, rtol=rtol, atol=1e-4 * np.abs(a).max(), err_msg=key
+        )
+    npt.assert_allclose(
+        np.asarray(zf['rho_tr_ZD']), np.asarray(zk['rho_tr_ZD']),
+        rtol=5e-3, atol=1e-3,
+    )
+    npt.assert_array_equal(
+        np.asarray(zf['Nk_tr_tr_ell']), np.asarray(zk['Nk_tr_tr_ell']).ravel()
+    )
+
+    # the reduced spectra agree up to the beta-expansion order difference
+    a = np.asarray(zk['Pk_tr_tr_ell_zcv'])
+    b = np.asarray(zf['Pk_tr_tr_ell_zcv'])
+    npt.assert_allclose(b, a, rtol=0.05, atol=0.02 * np.abs(a).max())
+
+    # the written reduced 3D cube projects to exactly the returned poles
+    from abacusutils_tpu.ops.power import get_k_mu_edges, project_3d_to_poles
+
+    cube = np.asarray(
+        open_asdf(save_z_dir / f'power_rsd_ZCV_tr_nmesh{nmesh}.asdf')['data'][
+            'P_k3D_tr_tr_zcv'
+        ]
+    )
+    kbins, _ = get_k_mu_edges(lbox, np.pi * nmesh / lbox, nmesh // 2, 1, False)
+    proj, _ = project_3d_to_poles(kbins, cube, lbox, [0, 2, 4])
+    proj = proj.reshape(3, nmesh // 2)
+    npt.assert_allclose(proj, b, rtol=1e-5, atol=1e-8 * np.abs(b).max())
+
+
+def test_lcv_field_vs_k_level(tmp_path):
+    """run_lcv_field against run_lcv on identical synthetic inputs (the
+    LCV counterpart of test_zcv_field_vs_k_level; reference
+    tools_cv.py:1175-1453 vs :949-1172)."""
+    import yaml
+
+    from abacusutils_tpu.models.zcv import linear_fields, tools_cv, tracer_power
+    from abacusutils_tpu.models.zcv.ic_fields import compress_asdf
+    from abacusutils_tpu.models.zcv.zenbu_window import periodic_window_function
+    from abacusutils_tpu.ops.power import get_k_mu_edges
+
+    sim_name = 'AbacusSummit_base_c000_ph006'
+    nmesh, lbox, z = 8, 2000.0, 0.8
+    kcut = 0.2261946710584651
+    rng = np.random.default_rng(7)
+    dens = rng.normal(0, 0.05, (nmesh, nmesh, nmesh)).astype(np.float32)
+
+    lcv_dir = tmp_path / 'lcv'
+    (lcv_dir / sim_name).mkdir(parents=True)
+    compress_asdf(
+        str(lcv_dir / sim_name / f'ic_filt_nmesh{nmesh}.asdf'),
+        {'dens': dens},
+        {'sim_name': sim_name, 'Lbox': lbox, 'nmesh': nmesh, 'kcut': kcut},
+    )
+    config = {
+        'sim_params': {'sim_name': sim_name, 'z_mock': z},
+        'HOD_params': {'want_rsd': True, 'rec_algo': 'recsym', 'smoothing': 10.0},
+        'lcv_params': {
+            'lcv_dir': str(lcv_dir), 'ic_dir': str(lcv_dir), 'nmesh': nmesh,
+            'kcut': kcut,
+        },
+        'power_params': {
+            'nbins_k': nmesh // 2, 'nbins_mu': 1, 'poles': [0, 2, 4],
+            'k_hMpc_max': np.pi * nmesh / lbox, 'paste': 'CIC',
+            'compensated': True, 'interlaced': True, 'logk': False,
+            'nmesh': nmesh,
+        },
+    }
+    cfg_fn = tmp_path / 'cfg.yaml'
+    yaml.safe_dump(config, open(cfg_fn, 'w'))
+
+    power_lin_dict = linear_fields.main(str(cfg_fn))
+    power_lin_fns = linear_fields.main(str(cfg_fn), save_3D_power=True)
+
+    tracer_pos = (rng.random((500, 3)) * lbox).astype(np.float32)
+    power_tr_dict = tracer_power.get_recon_power(
+        tracer_pos, None, True, config, want_load_tr_fft=False
+    )
+    power_tr_fns = tracer_power.get_recon_power(
+        None, None, True, config, want_load_tr_fft=True, save_3D_power=True
+    )
+
+    kout, _ = get_k_mu_edges(
+        lbox, config['power_params']['k_hMpc_max'], nmesh // 2, 1, False
+    )
+    kin = 0.5 * (kout[1:] + kout[:-1])
+    window, keff = periodic_window_function(nmesh, lbox, kout, kin)
+    np.savez(
+        lcv_dir / sim_name / f'window_nmesh{nmesh}.npz', window=window, keff=keff
+    )
+
+    lk = tools_cv.run_lcv(power_tr_dict, power_lin_dict, config)
+    lf = tools_cv.run_lcv_field(power_tr_fns, power_lin_fns, config)
+
+    npt.assert_allclose(lf['bias'], lk['bias'], rtol=1e-3)
+    for key, rtol in (
+        ('Pk_tr_tr_ell', 2e-4), ('Pk_lf_lf_ell', 2e-3), ('Pk_tr_lf_ell', 2e-3),
+    ):
+        a, b = np.asarray(lk[key]), np.asarray(lf[key])
+        npt.assert_allclose(
+            b, a, rtol=rtol, atol=1e-4 * np.abs(a).max(), err_msg=key
+        )
+    npt.assert_allclose(
+        np.asarray(lf['rho_tr_lf']), np.asarray(lk['rho_tr_lf']),
+        rtol=5e-3, atol=1e-3,
+    )
+    a = np.asarray(lk['Pk_tr_tr_ell_lcv'])
+    b = np.asarray(lf['Pk_tr_tr_ell_lcv'])
+    assert np.isfinite(b).all()
+    npt.assert_allclose(b, a, rtol=0.05, atol=0.02 * np.abs(a).max())
+
+
 def test_mode_count_conventions():
     """Mode-count conventions pinned against the reference's own bundled
     power_ij fixture: binning the FULL rfft cube (edges beyond Nyquist)
