@@ -133,8 +133,12 @@ def calc_fenv_opt(Menv, mbins, halosM):
 
 
 def get_vertices_cube(units=0.5, N=3):
-    vertices = 2 * ((np.arange(2**N)[:, None] & (1 << np.arange(N))) > 0) - 1
-    return vertices * units
+    """All 2**N corner sign combinations of an N-cube, scaled by `units`.
+
+    Vertex order is immaterial downstream (consumers take per-axis
+    min/max or mask by sign), so enumerate via meshgrid."""
+    axes = np.meshgrid(*([np.array([-1.0, 1.0])] * N), indexing='ij')
+    return units * np.stack([a.ravel() for a in axes], axis=-1)
 
 
 def is_in_cube(x_pos, y_pos, z_pos, verts):
@@ -162,30 +166,31 @@ def gen_rand(N, chi_min, chi_max, fac, Lbox, offset, origins, rng):
     else:
         costheta = rng.random(N_rands) * 2.0 - 1.0
         phi = rng.random(N_rands) * 2.0 * np.pi
+    # radial draw comes AFTER the two angle draws (legacy consumption
+    # order); the products pair left-to-right exactly like the legacy
+    # unit-vector-then-scale code, so values are bit-identical
     theta = np.arccos(costheta)
-    x_cart = np.sin(theta) * np.cos(phi)
-    y_cart = np.sin(theta) * np.sin(phi)
-    z_cart = np.cos(theta)
     rands_chis = rng.random(N_rands) * (chi_max - chi_min) + chi_min
-
-    x_cart *= rands_chis
-    y_cart *= rands_chis
-    z_cart *= rands_chis
+    sin_t = np.sin(theta)
+    x_cart = sin_t * np.cos(phi) * rands_chis
+    y_cart = sin_t * np.sin(phi) * rands_chis
+    z_cart = np.cos(theta) * rands_chis
 
     box0 = np.array([0.0, 0.0, 0.0]) - origin
     if origins.shape[0] > 1:
         box1 = np.array([0.0, 0.0, Lbox]) - origin
         box2 = np.array([0.0, Lbox, 0.0]) - origin
 
+    # pull the cube faces inward by `offset` (the LC catalogs lack the
+    # box edges): both x faces always; -y/-z always; +y/+z only for the
+    # center-observer (single-origin) footprint
     vert = get_vertices_cube(units=Lbox / 2.0)
-    x_vert, y_vert, z_vert = vert[:, 0], vert[:, 1], vert[:, 2]
-    vert[x_vert < 0, 0] += offset
-    vert[x_vert > 0, 0] -= offset
-    vert[y_vert < 0, 1] += offset
-    vert[z_vert < 0, 2] += offset
-    if origins.shape[0] == 1:
-        vert[y_vert > 0, 1] -= offset
-        vert[z_vert > 0, 2] -= offset
+    sgn = np.sign(vert)
+    vert[:, 0] -= sgn[:, 0] * offset
+    for ax in (1, 2):
+        vert[sgn[:, ax] < 0, ax] += offset
+        if origins.shape[0] == 1:
+            vert[sgn[:, ax] > 0, ax] -= offset
 
     vert0 = box0 + vert
     mask = is_in_cube(x_cart, y_cart, z_cart, vert0)
@@ -240,6 +245,7 @@ def prepare_slab(
     mcut=1e11,
     rad_outer=10,
     numslabs=None,
+    ranks_engine='auto',
 ):
     outfilename_halos = f'{savedir}/halos_xcom_{i}_seed{newseed}_abacushod_oldfenv'
     outfilename_particles = (
@@ -398,6 +404,26 @@ def prepare_slab(
         ppos_all = parts['pos']
         pvel_all = parts['vel']
 
+        # device rank staging: the RNG draws stay in the loop below in the
+        # reference's exact per-halo order; the rank math (no RNG) is
+        # deferred to one batched device program (ranks_device). 'auto'
+        # takes the device engine only where it is bit-exact vs the host
+        # loop (CPU backends, via a local x64 scope); TPU has no f64, so
+        # strict golden parity keeps the host loop there unless the user
+        # opts into ranks_engine: device.
+        if ranks_engine == 'auto':
+            import jax
+
+            ranks_engine = 'device' if jax.default_backend() == 'cpu' else 'host'
+        use_device_ranks = want_ranks and ranks_engine == 'device'
+        if use_device_ranks:
+            seg_parts = np.full(len_old, -1, np.int32)
+            nsub_parts = np.zeros(len_old, np.float64)
+            hpos_parts = np.zeros((len_old, 3), np.float32)
+            r25h_parts = np.zeros(len_old, np.float32)
+            r98h_parts = np.zeros(len_old, np.float32)
+            ranked_ps, ranked_pn = [], []
+
         print('compiling particle subsamples')
         start_tracker = 0
         for j in range(len(halos)):
@@ -434,6 +460,16 @@ def prepare_slab(
                             arr[indices_parts] = 0
                         continue
 
+                    if use_device_ranks:
+                        seg_parts[sl] = len(ranked_ps)
+                        nsub_parts[sl] = nsub
+                        hpos_parts[sl] = halos['x_L2com'][j]
+                        r25h_parts[sl] = halos['r25_L2com'][j]
+                        r98h_parts[sl] = halos['r98_L2com'][j]
+                        ranked_ps.append(ps)
+                        ranked_pn.append(pn)
+                        continue
+
                     _rank_fields(
                         indices_parts,
                         ppos_all[sl][submask.astype(bool)],
@@ -451,6 +487,21 @@ def prepare_slab(
             else:
                 halos_pstart_new[j] = -1
                 halos_pnum_new[j] = -1
+
+        if use_device_ranks and ranked_ps:
+            from .ranks_device import rank_fields_device
+
+            r, rv, rp_, rr, rc = rank_fields_device(
+                ppos_all, pvel_all, mask_parts.astype(bool), seg_parts,
+                nsub_parts, np.asarray(ranked_ps), np.asarray(ranked_pn),
+                hpos_parts, hvel_parts, Mh_parts, r25h_parts, r98h_parts, h,
+            )
+            upd = seg_parts >= 0  # keep the loop's -1/singleton fills
+            ranks_parts[upd] = r[upd]
+            ranksv_parts[upd] = rv[upd]
+            ranksp_parts[upd] = rp_[upd]
+            ranksr_parts[upd] = rr[upd]
+            ranksc_parts[upd] = rc[upd]
 
     halos['npstartA'] = halos_pstart_new
     halos['npoutA'] = halos_pnum_new
@@ -876,6 +927,7 @@ def main(
         want_AB=want_AB, want_shear=want_shear, shearmark=shearmark,
         cleaning=cleaning, newseed=newseed, halo_lc=halo_lc, nthread=nthread,
         overwrite=overwrite, numslabs=numslabs,
+        ranks_engine=config['prepare_sim'].get('ranks_engine', 'auto'),
     )
 
     nparallel = config['prepare_sim'].get('Nparallel_load', 1)
