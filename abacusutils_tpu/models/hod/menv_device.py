@@ -1,0 +1,293 @@
+r"""Device local-mass-environment engine: grid-binned annulus mass sums.
+
+Same contract as `menv.do_Menv_from_tree` (reference menv.py:19-87):
+Menv(halo) = sum of all halo masses within r_outer minus within r_inner
+(both balls closed, self-mass cancels), computed only for halos above
+mcut; periodic min-image for boxes, none for light cones. The reference
+runs batched cKDTree ball queries; here the whole slab is one device
+pipeline:
+
+- one multi-operand device sort groups the halos by grid cell (cell edge
+  >= r_outer, so the 27-cell neighborhood covers every ball);
+- per center cell, the 27 neighbor cells are dynamic-sliced straight out
+  of the sorted arrays as 27 windows (single-cell windows need no run
+  contiguity, so periodic wrap and light-cone boundary clamping are just
+  host-side index arithmetic — including the n<3 axes where wrapped
+  offsets alias and must be deduplicated);
+- cells are bucketed by the power-of-two of their largest window
+  occupancy and each class runs one jitted kernel: rows = the cell's own
+  (mcut-selected) halos, columns = each window, contribution
+  mass_j * ([d <= r_outer] - [d <= r_inner_i]) masked by window length,
+  accumulated per row and written back read-modify-write (pads overlap
+  the next cell's slots, so merges keep old values, like
+  ranks_device._nn_class_scan);
+- one unique-index scatter unsorts the per-halo sums to input order.
+
+Exactness: on CPU backends the engine takes a local
+`jax.enable_x64(True)` scope; coordinates, masses, and radii are f64 and
+the squared-distance/radius comparisons reproduce cKDTree's
+classification bit-for-bit (same cast-to-f64, same (dx*dx+dy*dy)+dz*dz
+pairing; the periodic min-image dx - L*round(dx/L) equals the tree's
+min(|dx|, L-|dx|) branch up to exact negation). Only the summation
+ORDER differs, so Menv matches the host engine to f64 rounding
+(~1e-15 relative). On TPU (no f64) the f32 comparisons can flip
+pairs within ~1e-7 relative of a ball boundary — each flip moves Menv
+by one whole halo mass — so prepare_sim's menv_engine='auto' keeps the
+host engine on TPU backends.
+"""
+
+import contextlib
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ['do_menv_device']
+
+
+def _pow2ceil(n):
+    return 1 << max(0, int(n) - 1).bit_length()
+
+
+@partial(jax.jit, static_argnames=('cap', 'block', 'periodic'))
+def _menv_class(out, xs, ys, zs, ms, rs, sel,
+                a_starts, a_occ, w_starts, w_lens,
+                r_out2, lbox, cap, block, periodic):
+    """Annulus mass sums for every (selected) halo of each cell in one
+    capacity class. Windows and rows are dynamic slices of the sorted
+    arrays; pad columns are masked by window length, pad rows merge the
+    old output values."""
+    nh = a_starts.shape[0]
+    iota = jnp.arange(cap)
+    rchunk = max(1, min(cap, (1 << 20) // cap))
+    n_rblocks = -(-cap // rchunk)
+
+    def mi(d):
+        if periodic:
+            return d - lbox * jnp.round(d / lbox)
+        return d
+
+    def one_cell(out, s, na, ws, wl):
+        ax = jax.lax.dynamic_slice(xs, (s,), (cap,))
+        ay = jax.lax.dynamic_slice(ys, (s,), (cap,))
+        az = jax.lax.dynamic_slice(zs, (s,), (cap,))
+        ar2 = jax.lax.dynamic_slice(rs, (s,), (cap,)) ** 2
+        arow = (iota < na) & jax.lax.dynamic_slice(sel, (s,), (cap,))
+
+        def wbody(w, acc):
+            t = ws[w]
+            bx = jax.lax.dynamic_slice(xs, (t,), (cap,))
+            by = jax.lax.dynamic_slice(ys, (t,), (cap,))
+            bz = jax.lax.dynamic_slice(zs, (t,), (cap,))
+            bm = jax.lax.dynamic_slice(ms, (t,), (cap,))
+            bm = jnp.where(iota < wl[w], bm, jnp.zeros((), bm.dtype))
+
+            def rblock(r, acc):
+                r0 = r * rchunk
+                sl = lambda a: jax.lax.dynamic_slice(a, (r0,), (rchunk,))  # noqa: E731
+                dx = mi(sl(ax)[:, None] - bx[None, :])
+                dy = mi(sl(ay)[:, None] - by[None, :])
+                dz = mi(sl(az)[:, None] - bz[None, :])
+                d2 = (dx * dx + dy * dy) + dz * dz
+                ann = (
+                    (d2 <= r_out2).astype(bm.dtype)
+                    - (d2 <= sl(ar2)[:, None]).astype(bm.dtype)
+                )
+                part = (ann * bm[None, :]).sum(axis=1)
+                return jax.lax.dynamic_update_slice(
+                    acc, sl(acc) + part, (r0,)
+                )
+
+            return jax.lax.fori_loop(0, n_rblocks, rblock, acc)
+
+        acc = jax.lax.fori_loop(0, 27, wbody, jnp.zeros(cap, ms.dtype))
+        old = jax.lax.dynamic_slice(out, (s,), (cap,))
+        return jax.lax.dynamic_update_slice(
+            out, jnp.where(arow, acc, old), (s,)
+        )
+
+    def body(b, out):
+        for k in range(block):
+            i = jnp.minimum(b * block + k, nh - 1)
+            # repeats of the last cell are idempotent (same rows/values)
+            out = one_cell(out, a_starts[i], a_occ[i], w_starts[:, i],
+                           w_lens[:, i])
+        return out
+
+    return jax.lax.fori_loop(0, -(-nh // block), body, out)
+
+
+def _axis_neighbors(n, periodic):
+    """Neighbor index table (n, <=3) per axis with -1 for absent slots:
+    wrapped and DEDUPLICATED for periodic axes (n<3 aliases offsets),
+    clamped for open axes."""
+    ci = np.arange(n)[:, None]
+    cand = ci + np.array([-1, 0, 1])[None, :]
+    if periodic:
+        cand = cand % n
+        out = np.full((n, 3), -1, np.int64)
+        for i in range(n):
+            u = np.unique(cand[i])
+            out[i, : len(u)] = u
+        return out
+    out = np.where((cand >= 0) & (cand < n), cand, -1)
+    return out
+
+
+def do_menv_device(
+    pos, mass, r_inner, r_outer, halo_lc, Lbox, mcut=1e11,
+):
+    """Device twin of `do_Menv_from_tree` — see module docstring.
+
+    pos (N,3), mass (N,) f64, r_inner scalar or (N,), r_outer scalar.
+    Returns (N,) float64 Menv (0 for halos at or below mcut).
+    """
+    mass = np.asarray(mass, np.float64)
+    n = len(mass)
+    if n == 0:
+        return np.zeros(0, np.float64)
+    r_outer = float(np.asarray(r_outer))
+    r_inner = np.broadcast_to(
+        np.asarray(r_inner, np.float64), (n,)
+    ).copy()
+
+    # same host-side preparation as the tree engine (wrap expression
+    # matches do_Menv_from_tree bit-for-bit)
+    pos = np.asarray(pos)
+    if halo_lc:
+        pos = np.asarray(pos, np.float64)
+        periodic = False
+        mn = pos.min(axis=0)
+        span = np.maximum(pos.max(axis=0) - mn, 1e-9)
+        ncs = np.maximum((span // r_outer).astype(np.int64), 1)
+        h = span / ncs  # >= r_outer
+        cell = [
+            np.clip(((pos[:, a] - mn[a]) / h[a]).astype(np.int64), 0, ncs[a] - 1)
+            for a in range(3)
+        ]
+    else:
+        pos = (pos + Lbox / 2.0) % Lbox
+        periodic = True
+        nc1 = max(int(Lbox // r_outer), 1)
+        ncs = np.array([nc1, nc1, nc1], np.int64)
+        h = np.array([Lbox / nc1] * 3, np.float64)
+        cell = [
+            np.clip((pos[:, a] / h[a]).astype(np.int64), 0, nc1 - 1)
+            for a in range(3)
+        ]
+    C = int(ncs.prod())
+    key = (cell[0] * ncs[1] + cell[1]) * ncs[2] + cell[2]
+
+    if bool(jax.config.read('jax_enable_x64')) or jax.default_backend() == 'cpu':
+        ctx = jax.enable_x64(True)
+        fdt = np.float64
+    else:
+        ctx = contextlib.nullcontext()
+        fdt = np.float32
+
+    with ctx:
+        npad = _pow2ceil(n + 1)
+        pad = npad - n
+
+        def padded(a, fill, dt):
+            return jnp.asarray(
+                np.concatenate([np.asarray(a, dt), np.full(pad, fill, dt)])
+            )
+
+        keys = jnp.asarray(
+            np.concatenate([key.astype(np.int32),
+                            np.full(pad, C, np.int32)])
+        )
+        ops = jax.lax.sort(
+            (
+                keys,
+                padded(pos[:, 0], np.inf, fdt),
+                padded(pos[:, 1], np.inf, fdt),
+                padded(pos[:, 2], np.inf, fdt),
+                padded(mass, 0.0, fdt),
+                padded(r_inner, 0.0, fdt),
+                padded(np.arange(n, dtype=np.int32), n, np.int32),
+            ),
+            num_keys=1,
+        )
+        skey, xs, ys, zs, ms, rs, ix = ops
+        # selection travels with the sort via mass (> mcut is the same
+        # strict comparison the host engine applies)
+        sel = ms > jnp.asarray(np.asarray(mcut, fdt))
+
+        # sparse occupancy (scales with N, not with the cell count: a
+        # light-cone grid can have ~1e8 cells, nearly all empty)
+        skey_np = np.asarray(skey)[:n].astype(np.int64)
+        ukeys, ustart = np.unique(skey_np, return_index=True)
+        uocc = np.diff(np.append(ustart, n))
+
+        def lookup(wc, ok):
+            """(start, len) of arbitrary cell ids via the sparse table."""
+            p = np.searchsorted(ukeys, wc)
+            found = ok & (p < len(ukeys))
+            p = np.minimum(p, len(ukeys) - 1)
+            found &= ukeys[p] == wc
+            return (
+                np.where(found, ustart[p], 0).astype(np.int32),
+                np.where(found, uocc[p], 0).astype(np.int32),
+            )
+
+        # 27 single-cell windows per live cell (host index arithmetic)
+        li, lj, lk = np.unravel_index(ukeys, tuple(ncs))
+        nbr_i = _axis_neighbors(int(ncs[0]), periodic)[li]  # (L,3)
+        nbr_j = _axis_neighbors(int(ncs[1]), periodic)[lj]
+        nbr_k = _axis_neighbors(int(ncs[2]), periodic)[lk]
+        w_starts = np.zeros((27, len(ukeys)), np.int32)
+        w_lens = np.zeros((27, len(ukeys)), np.int32)
+        o = 0
+        for a in range(3):
+            for b in range(3):
+                for c in range(3):
+                    wi, wj, wk = nbr_i[:, a], nbr_j[:, b], nbr_k[:, c]
+                    ok = (wi >= 0) & (wj >= 0) & (wk >= 0)
+                    wc = (wi * ncs[1] + wj) * ncs[2] + wk
+                    w_starts[o], w_lens[o] = lookup(wc, ok)
+                    o += 1
+
+        # capacity classes on the largest window (the self cell is one
+        # of the 27, so rows fit too); merge sparse classes upward
+        wmax = w_lens.max(axis=0)
+        caps_all = np.maximum(8, 2 ** np.ceil(np.log2(wmax)).astype(int))
+        uniq = np.unique(caps_all)
+        for a in range(len(uniq) - 1):
+            if np.count_nonzero(caps_all == uniq[a]) < 64:
+                caps_all[caps_all == uniq[a]] = uniq[a + 1]
+
+        # pad the sorted arrays so slice start+cap never clamps
+        capmax = int(caps_all.max())
+        tail = jnp.full(capmax, jnp.inf, fdt)
+        xs = jnp.concatenate([xs, tail])
+        ys = jnp.concatenate([ys, tail])
+        zs = jnp.concatenate([zs, tail])
+        ms = jnp.concatenate([ms, jnp.zeros(capmax, fdt)])
+        rs = jnp.concatenate([rs, jnp.zeros(capmax, fdt)])
+        sel = jnp.concatenate([sel, jnp.zeros(capmax, bool)])
+
+        out = jnp.zeros(npad + capmax, fdt)
+        r_out2 = jnp.asarray(np.asarray(r_outer, fdt)) ** 2
+        lbox_d = jnp.asarray(np.asarray(Lbox if periodic else 0.0, fdt))
+        for cap in np.unique(caps_all):
+            in_c = caps_all == cap
+            block = int(max(1, min(16, 4096 // cap)))
+            out = _menv_class(
+                out, xs, ys, zs, ms, rs, sel,
+                jnp.asarray(ustart[in_c].astype(np.int32)),
+                jnp.asarray(uocc[in_c].astype(np.int32)),
+                jnp.asarray(w_starts[:, in_c]),
+                jnp.asarray(w_lens[:, in_c]),
+                r_out2, lbox_d, int(cap), block, periodic,
+            )
+
+        # unsort to input order (pad rows carry sentinel idx n -> dropped)
+        menv = jnp.zeros(n, fdt).at[ix[:n]].set(
+            out[:n], mode='drop', unique_indices=True
+        )
+        # np.array (not asarray): callers mutate the result in place, and
+        # asarray of a device buffer is a read-only view
+        return np.array(menv, dtype=np.float64)

@@ -28,6 +28,31 @@ from ...io.compaso import CompaSOHaloCatalog
 from ...io.read_abacus import read_asdf
 from .menv import do_Menv_from_tree
 
+
+def _do_menv(engine, pos, mass, r_inner, r_outer, halo_lc, Lbox,
+             nthread=1, mcut=1e11):
+    """Menv engine dispatch: 'auto' takes the device grid engine
+    (menv_device) only where it reproduces the cKDTree classification
+    bit-for-bit (CPU backends, via a local x64 scope); TPU has no f64,
+    where an f32 boundary flip moves Menv by a whole halo mass, so
+    strict parity keeps the tree engine there unless the user opts into
+    menv_engine: device."""
+    if engine == 'auto':
+        import jax
+
+        engine = 'device' if jax.default_backend() == 'cpu' else 'host'
+    if engine == 'device':
+        from .menv_device import do_menv_device
+
+        return do_menv_device(
+            pos, mass, r_inner=r_inner, r_outer=r_outer,
+            halo_lc=halo_lc, Lbox=Lbox, mcut=mcut,
+        )
+    return do_Menv_from_tree(
+        pos, mass, r_inner=r_inner, r_outer=r_outer,
+        halo_lc=halo_lc, Lbox=Lbox, nthread=nthread, mcut=mcut,
+    )
+
 __all__ = ['main', 'prepare_slab']
 
 PRIMARY_REDSHIFTS = [3.0, 2.5, 2.0, 1.7, 1.4, 1.1, 0.8, 0.5, 0.4, 0.3, 0.2, 0.1, 0.0]
@@ -246,6 +271,7 @@ def prepare_slab(
     rad_outer=10,
     numslabs=None,
     ranks_engine='auto',
+    menv_engine='auto',
 ):
     outfilename_halos = f'{savedir}/halos_xcom_{i}_seed{newseed}_abacushod_oldfenv'
     outfilename_particles = (
@@ -332,12 +358,13 @@ def prepare_slab(
         if halo_lc:
             _env_halo_lc(
                 halos, header, Lbox, rad_outer, mcut, mbins, nthread,
-                halo_lc_randoms_seed, allmasses,
+                halo_lc_randoms_seed, allmasses, menv_engine=menv_engine,
             )
         else:
             _env_periodic(
                 halos, i, numslabs, Lbox, rad_outer, mcut, nthread,
                 simdir, simname, z_mock, cleaning, Mpart, outfilename_env,
+                menv_engine=menv_engine,
             )
 
         print('computing c rank')
@@ -639,6 +666,7 @@ def _rank_fields(
 def _env_periodic(
     halos, i, numslabs, Lbox, rad_outer, mcut, nthread,
     simdir, simname, z_mock, cleaning, Mpart, outfilename_env,
+    menv_engine='auto',
 ):
     """Padded-slab Menv sidecar for the periodic box (reference :628-756)."""
     central_pos = halos['x_L2com']
@@ -693,8 +721,8 @@ def _env_periodic(
         f'[slab {i}] env centers = {Ncentral:,}, total env halos = {len(env_mass):,}'
     )
 
-    Menv_all = do_Menv_from_tree(
-        env_pos, env_mass, r_inner=env_rvir, r_outer=rad_outer,
+    Menv_all = _do_menv(
+        menv_engine, env_pos, env_mass, r_inner=env_rvir, r_outer=rad_outer,
         halo_lc=False, Lbox=Lbox, nthread=nthread, mcut=mcut,
     )
     Menv_central = Menv_all[:Ncentral]
@@ -712,7 +740,7 @@ def _env_periodic(
 
 def _env_halo_lc(
     halos, header, Lbox, rad_outer, mcut, mbins, nthread,
-    halo_lc_randoms_seed, allmasses,
+    halo_lc_randoms_seed, allmasses, menv_engine='auto',
 ):
     """Light-cone Menv with randoms-normalized boundary correction
     (reference :474-626)."""
@@ -794,8 +822,8 @@ def _env_halo_lc(
             * 4.0 / 3.0 * np.pi * rand_n
         )
 
-    Menv = do_Menv_from_tree(
-        np.asarray(halos['x_L2com']), np.asarray(allmasses),
+    Menv = _do_menv(
+        menv_engine, np.asarray(halos['x_L2com']), np.asarray(allmasses),
         r_inner=np.asarray(halos['r98_L2com']), r_outer=rad_outer,
         halo_lc=True, Lbox=Lbox, nthread=nthread, mcut=mcut,
     )
@@ -928,6 +956,7 @@ def main(
         cleaning=cleaning, newseed=newseed, halo_lc=halo_lc, nthread=nthread,
         overwrite=overwrite, numslabs=numslabs,
         ranks_engine=config['prepare_sim'].get('ranks_engine', 'auto'),
+        menv_engine=config['prepare_sim'].get('menv_engine', 'auto'),
     )
 
     nparallel = config['prepare_sim'].get('Nparallel_load', 1)
