@@ -27,9 +27,57 @@ def clustered_points(n, lbox, seed=7):
     return np.mod(centers[parent] + offs, lbox)
 
 
+def mock_workload(n):
+    """The real multi-tracer mock workload (VERDICT r3 item 7): wp +
+    xi(rp,pi) + xi(s,mu) multipoles on ONE catalog at base-box mock
+    density, sharing a single cached cell stage across all three."""
+    import json
+
+    from abacusutils_tpu.ops import tpcf
+    from abacusutils_tpu.ops.tpcf import pair_counts_rppi, pair_counts_smu
+    from abacusutils_tpu.utils.compile_cache import enable as enable_cache
+
+    enable_cache()
+    import jax
+
+    lbox = 2000.0
+    pos = clustered_points(n, lbox)
+    pos_d = jax.block_until_ready(jax.device_put(pos.astype(np.float32)))
+    rpbins = np.logspace(-1, np.log10(30.0), 9)
+    sbins = np.logspace(-1, np.log10(30.0), 9)
+    pimax, nmu = 30, 20
+
+    # warm the kernels once so the workload numbers are compile-free
+    pair_counts_rppi(pos_d, rpbins, pimax, lbox)
+    pair_counts_smu(pos_d, sbins, nmu, lbox)
+    tpcf._stage_cache.clear()
+
+    out = {'n': n, 'lbox': lbox}
+    t0 = time.perf_counter()
+    c_rppi = pair_counts_rppi(pos_d, rpbins, pimax, lbox)
+    out['xirppi_cold_stage_s'] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    c_smu = pair_counts_smu(pos_d, sbins, nmu, lbox)
+    out['smu_shared_stage_s'] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    c_wp = pair_counts_rppi(pos_d, rpbins, pimax, lbox)  # wp reuses rppi
+    out['wp_shared_stage_s'] = round(time.perf_counter() - t0, 3)
+    out['workload_total_s'] = round(
+        out['xirppi_cold_stage_s'] + out['smu_shared_stage_s']
+        + out['wp_shared_stage_s'], 3,
+    )
+    out['total_pairs'] = int(c_rppi.sum())
+    assert (c_wp == c_rppi).all() and c_smu.sum() > 0
+    print(json.dumps(out), flush=True)
+
+
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 and not sys.argv[1].startswith('-') else 4_000_000
+    explicit_n = len(sys.argv) > 1 and not sys.argv[1].startswith('-')
+    n = int(sys.argv[1]) if explicit_n else 4_000_000
     smu = '--smu' in sys.argv
+    if '--mock' in sys.argv:
+        mock_workload(n if explicit_n else 25_000_000)
+        return
 
     from abacusutils_tpu.ops.tpcf import pair_counts_rppi, pair_counts_smu
     from abacusutils_tpu.utils.compile_cache import enable as enable_compile_cache
