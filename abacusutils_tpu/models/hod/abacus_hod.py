@@ -796,7 +796,12 @@ class AbacusHOD:
         if nbins_k is None:
             nbins_k = nmesh // 2
 
-        stage_key = (int(nmesh), int(yb))
+        # the staged column set depends on want_shear/want_ranks, so they
+        # key the cache too (toggling them must restage, not silently
+        # reuse a stage without those columns)
+        stage_key = (
+            int(nmesh), int(yb), bool(self.want_shear), bool(self.want_ranks),
+        )
         cached = getattr(self, '_fused_stage', None)
         if cached is not None and cached[0] == stage_key:
             _, halo_g, part_g, plan_h, plan_p = cached

@@ -178,6 +178,15 @@ def do_menv_device(
         ]
     C = int(ncs.prod())
     key = (cell[0] * ncs[1] + cell[1]) * ncs[2] + cell[2]
+    # the device sort keys are int32: compress cell ids densely when the
+    # raw id space overflows (full-sky light-cone grids can have > 2^31
+    # cells, nearly all empty — occupied cells are bounded by N)
+    if C >= 2**31 - 1:
+        cell_of_dense, key = np.unique(key, return_inverse=True)
+        sentinel = len(cell_of_dense)
+    else:
+        cell_of_dense = None
+        sentinel = C
 
     if bool(jax.config.read('jax_enable_x64')) or jax.default_backend() == 'cpu':
         ctx = jax.enable_x64(True)
@@ -197,7 +206,7 @@ def do_menv_device(
 
         keys = jnp.asarray(
             np.concatenate([key.astype(np.int32),
-                            np.full(pad, C, np.int32)])
+                            np.full(pad, sentinel, np.int32)])
         )
         ops = jax.lax.sort(
             (
@@ -221,6 +230,10 @@ def do_menv_device(
         skey_np = np.asarray(skey)[:n].astype(np.int64)
         ukeys, ustart = np.unique(skey_np, return_index=True)
         uocc = np.diff(np.append(ustart, n))
+        if cell_of_dense is not None:
+            # every dense id occurs, in raw-sorted order: translate the
+            # sparse table back to raw cell ids for the window arithmetic
+            ukeys = cell_of_dense[ukeys]
 
         def lookup(wc, ok):
             """(start, len) of arbitrary cell ids via the sparse table."""

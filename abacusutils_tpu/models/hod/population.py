@@ -171,12 +171,9 @@ def _sat_core(
         base = _sat_base(tracer, p, hmass, deltac, fenv, shear, keep_cent)
         base = base * weights * p['ic']
         if enable_ranks:
-            base = base * (
-                1
-                + p['s'] * ranks
-                + p['s_v'] * ranksv
-                + p['s_p'] * ranksp
-                + p['s_r'] * ranksr
+            base = base * _rank_multiplier(
+                p, {'ranks': ranks, 'ranksv': ranksv,
+                    'ranksp': ranksp, 'ranksr': ranksr},
             )
         marker = marker + base
         keep = jnp.where((keep == 0) & (randoms <= marker), np.int8(code), keep)

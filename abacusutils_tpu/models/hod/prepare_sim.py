@@ -438,7 +438,7 @@ def prepare_slab(
         # loop (CPU backends, via a local x64 scope); TPU has no f64, so
         # strict golden parity keeps the host loop there unless the user
         # opts into ranks_engine: device.
-        if ranks_engine == 'auto':
+        if want_ranks and ranks_engine == 'auto':
             import jax
 
             ranks_engine = 'device' if jax.default_backend() == 'cpu' else 'host'

@@ -175,7 +175,7 @@ def _nn_dists(ppos, pstart, pnum, dtype):
 
 
 @jax.jit
-def _rank_keys(dx, dy, dz, dvx, dvy, dvz, alpha, rs_p, factorB_unused=None):
+def _rank_keys(dx, dy, dz, dvx, dvy, dvz, alpha, rs_p):
     """Elementwise rank keys mirroring the host loop's dtype flow: f32
     dist^2 / v^2 / radial velocity, and the NFW perihelion rp^2 whose
     20-step iteration promotes to f64 through `alpha` (reference

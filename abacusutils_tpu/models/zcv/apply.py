@@ -188,18 +188,16 @@ def apply_zcv_xi(ball, mock_dict, config, load_presaved=False):
         pk_rsd_tr_fns = get_tracer_power(
             tracer_pos, config['HOD_params']['want_rsd'], config, save_3D_power=True
         )
-        if config['HOD_params']['want_rsd']:
-            # real-space repopulation of the SAME tracer for the bias fit
-            # (ball.tracers may configure more than the one being reduced)
-            mock_real = ball.run_hod(
-                ball.tracers, want_rsd=False, reseed=None, write_to_disk=False
-            )
-            tracer_pos = _tracer_pos(mock_real[tr])
-            del mock_real
-            gc.collect()
-            pk_tr_fns = get_tracer_power(tracer_pos, False, config, save_3D_power=True)
-        else:
-            pk_tr_fns, pk_ij_fns = None, None
+        # real-space repopulation of the SAME tracer for the bias fit
+        # (ball.tracers may configure more than the one being reduced;
+        # want_rsd is asserted at entry, so this always runs)
+        mock_real = ball.run_hod(
+            ball.tracers, want_rsd=False, reseed=None, write_to_disk=False
+        )
+        tracer_pos = _tracer_pos(mock_real[tr])
+        del mock_real
+        gc.collect()
+        pk_tr_fns = get_tracer_power(tracer_pos, False, config, save_3D_power=True)
 
     for pk_fns in (pk_rsd_tr_fns, pk_rsd_ij_fns, pk_tr_fns, pk_ij_fns):
         if pk_fns is not None:

@@ -9,7 +9,7 @@ on the reduced grid (histogram bins are small, so a final psum of bins is
 free). Galaxy populations stay shard-local; only reductions cross chips.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -144,23 +144,52 @@ def hod_pk_fused_sharded(
     from ..ops.grid import fold_ypad, paint_grouped_yb_multi
     from ..ops.power import _segsum_matmul
 
+    if nmesh % mesh.shape[axis]:
+        raise ValueError(
+            f'nmesh={nmesh} must be divisible by the {mesh.shape[axis]}-device '
+            'mesh so shards hold whole x-slabs of cells'
+        )
+    step = _fused_sharded_step(
+        mesh, axis, tuple(sorted(halo_g)), tuple(sorted(part_g)),
+        jax.tree.structure(params), jax.tree.structure(binplan),
+        Wcomp is not None, tuple(want), int(nmesh), int(B), int(nbins_k),
+        int(K_h), int(K_p), bool(rsd), int(chunk_h), int(chunk_p),
+        float(lbox), float(velz2kms),
+    )
+    args = (halo_g, part_g, params, binplan)
+    if Wcomp is not None:
+        args = args + (Wcomp,)
+    return step(*args)
+
+
+@lru_cache(maxsize=32)
+def _fused_sharded_step(
+    mesh, axis, halo_keys, part_keys, params_treedef, bin_treedef,
+    has_comp, want, nmesh, B, nbins_k, K_h, K_p, rsd, chunk_h, chunk_p,
+    lbox, velz2kms,
+):
+    """Build (once per static configuration) the jitted shard_map program
+    behind hod_pk_fused_sharded — memoized so repeated calls with new
+    parameter VALUES hit the jit cache instead of retracing a fresh
+    closure (over the remote compile tunnel a retrace costs minutes)."""
+    from ..models.pipeline import _cent_codes, _sat_codes, _tracer_zw
+    from ..ops.grid import fold_ypad, paint_grouped_yb_multi
+    from ..ops.power import _segsum_matmul
+
     ndev = mesh.shape[axis]
     nyb = nmesh // B
     ncell = nmesh * nyb
-    if nmesh % ndev:
-        raise ValueError(
-            f'nmesh={nmesh} must be divisible by the {ndev}-device mesh so '
-            'shards hold whole x-slabs of cells'
-        )
     ncell_l = ncell // ndev
-    want = tuple(want)
     pairs = tuple((t1, t2) for i, t1 in enumerate(want) for t2 in want[i:])
 
-    halo_spec = {k: P(axis) for k in halo_g}
-    part_spec = {k: P(axis) for k in part_g}
-    params_spec = jax.tree.map(lambda _: P(), params)
-    bin_spec = jax.tree.map(lambda _: P(), binplan)
-    has_comp = Wcomp is not None
+    halo_spec = {k: P(axis) for k in halo_keys}
+    part_spec = {k: P(axis) for k in part_keys}
+    params_spec = jax.tree.unflatten(
+        params_treedef, [P()] * params_treedef.num_leaves
+    )
+    bin_spec = jax.tree.unflatten(
+        bin_treedef, [P()] * bin_treedef.num_leaves
+    )
     in_specs = (halo_spec, part_spec, params_spec, bin_spec)
     if has_comp:
         in_specs = in_specs + (P(),)
@@ -238,10 +267,7 @@ def hod_pk_fused_sharded(
             )
         return spectra, n_gal
 
-    args = (halo_g, part_g, params, binplan)
-    if has_comp:
-        args = args + (Wcomp,)
-    return step(*args)
+    return step
 
 
 def _assemble_power_output(
