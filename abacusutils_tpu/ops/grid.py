@@ -482,6 +482,101 @@ def paint_grouped_yb(gridp, xg, yg, zg, wg, box, offset, nmesh, B, K2, chunk=819
     )
 
 
+def paint_grouped_yb_multiw(gridps, xg, yg, zg, wgs, box, offset, nmesh, B,
+                            chunk=8192, cell0=0):
+    """paint_grouped_yb for SEVERAL weight columns sharing ONE position
+    set, each depositing into its own grid (the zcv advection workload:
+    five advected bias fields on the same Zel'dovich lattice).
+
+    The TSC cloud construction — the deposit's measured bottleneck (VPU
+    iota-compare, not the matmul) — is built once per chunk for all F
+    fields: the per-field weights are folded into the NARROW
+    (chunk, 3*(B+2)) x-y side (F small multiplies), the wide z one-hot is
+    shared, and one (chunk, F*3*(B+2))^T @ (chunk, nmesh) dot feeds all F
+    per-cell stencils. Per-cell grid-row traffic is per field (separate
+    output grids).
+
+    gridps: (F, nmesh, nmesh+2, nmesh) stacked y-padded grids;
+    wgs: (F, ncell, K2) weight stacks in the shared grouped layout.
+    Returns the updated stack; fold each with fold_ypad."""
+    F = int(wgs.shape[0])
+    ncell = int(xg.shape[0])
+    K2 = int(xg.shape[1])
+    chunk = int(min(chunk, K2))
+    nyb = nmesh // B
+    u8z = nmesh <= 256
+    colsB = jnp.arange(B + 2, dtype=jnp.int32)
+    colsZ = jnp.arange(nmesh, dtype=jnp.int32)
+    if u8z:
+        colsZ = colsZ.astype(jnp.uint8)
+
+    def cell_body(c, gridps):
+        cg = c + cell0
+        cx = cg // nyb
+        y0 = (cg % nyb) * B
+
+        def chunk_body(t, acc):
+            sl = lambda a: jax.lax.dynamic_slice(a, (c, t * chunk), (1, chunk))[0]  # noqa: E731
+            _, wx = _axis_cloud(sl(xg), box, offset, nmesh, 'tsc', True)
+            iy, wy = _axis_cloud(sl(yg), box, offset, nmesh, 'tsc', True)
+            iz, wz = _axis_cloud(sl(zg), box, offset, nmesh, 'tsc', True)
+            iy_c = jnp.mod(iy, nmesh) - y0 + 1
+            iz_c = jnp.mod(iz, nmesh)
+            wy_c = [w[:, None] for w in wy]
+            wz_c = [w[:, None] for w in wz]
+
+            def onehot(i0, w3, cols):
+                if cols.dtype == jnp.uint8:
+                    i0 = i0.astype(jnp.uint8)
+                M = (cols[None, :] == i0[:, None]).astype(jnp.float32)
+                return (
+                    w3[0] * jnp.roll(M, -1, axis=1)
+                    + w3[1] * M
+                    + w3[2] * jnp.roll(M, 1, axis=1)
+                )
+
+            Wy = onehot(iy_c, wy_c, colsB)          # (chunk, B+2)
+            A = jnp.concatenate(
+                [(wx[o][:, None] * Wy) for o in range(3)], axis=1
+            )                                        # (chunk, 3*(B+2))
+            # fold each field's weights into the narrow side
+            A_all = jnp.concatenate(
+                [
+                    jax.lax.dynamic_slice(
+                        wgs, (f, c, t * chunk), (1, 1, chunk)
+                    )[0, 0][:, None] * A
+                    for f in range(F)
+                ],
+                axis=1,
+            )                                        # (chunk, F*3*(B+2))
+            Wz = onehot(iz_c, wz_c, colsZ)           # (chunk, nmesh)
+            return acc + jax.lax.dot_general(
+                A_all, Wz, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        D = jax.lax.fori_loop(
+            0, K2 // chunk, chunk_body,
+            jnp.zeros((F * 3 * (B + 2), nmesh), jnp.float32),
+        ).reshape(F, 3, B + 2, nmesh)
+
+        y0_i = jnp.asarray(y0, jnp.int32)
+        z0_i = jnp.zeros((), jnp.int32)
+        for f in range(F):
+            for o in range(3):
+                plane = jnp.asarray(jnp.mod(cx + o - 1, nmesh), jnp.int32)
+                f_i = jnp.asarray(f, jnp.int32)
+                row = jax.lax.dynamic_slice(
+                    gridps, (f_i, plane, y0_i, z0_i), (1, 1, B + 2, nmesh)
+                )
+                gridps = jax.lax.dynamic_update_slice(
+                    gridps, row + D[f, o][None, None], (f_i, plane, y0_i, z0_i)
+                )
+        return gridps
+
+    return jax.lax.fori_loop(0, ncell, cell_body, gridps)
+
+
 def paint_grouped_yb_multi(gridp, groups, box, offset, nmesh, B, cell0=0):
     """paint_grouped_yb over SEVERAL grouped catalogs sharing one grid.
 

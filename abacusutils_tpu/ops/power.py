@@ -336,6 +336,71 @@ def _segsum_matmul(wflat, seg, nbins, kzlen, chunk=1 << 20, pole_w=(),
     return acc[0] if not pole_w else acc
 
 
+@partial(jax.jit, static_argnames=('nbins', 'kzlen', 'chunk', 'even'))
+def _segsum_matmul_pairs(ffts, seg, nbins, kzlen, chunk=1 << 19, pole_w=(),
+                         even=True):
+    """All auto/cross pair bin sums of a field stack in ONE one-hot
+    contraction.
+
+    `ffts` is a tuple of nf flat complex rfft-mode vectors (the kz<=kzlen
+    slice flattened, like _flatten_weights_jit layout). For every pair
+    (i, j), i >= j, the raw cross power Re(conj(f_i) f_j) is computed per
+    scan chunk and stacked as extra LHS rows of the SAME bin one-hot that
+    _segsum_matmul builds per chunk — the construction (the dominant
+    cost) is paid once for all nf*(nf+1)/2 pairs, and the MXU row count
+    (pairs x (1+len(pole_w)) <= 128) rides the same tile as a single
+    pair. This is the zcv advection P_ij workload: 15 pairs x 3 poles at
+    nmesh=512 bins in roughly the cost of one spectrum.
+
+    Returns (npairs, 1+len(pole_w), nbins) f32, pair p = (i, j) in
+    i-major i>=j order, rows within a pair ordered [dup-weighted, *pole_w]
+    exactly like _segsum_matmul's output rows.
+    """
+    nf = len(ffts)
+    m = ffts[0].shape[0]
+    chunk = min(chunk, -(-m // 2048) * 2048)
+    mpad = -(-m // chunk) * chunk
+    ffts = tuple(jnp.pad(f, (0, mpad - m)) for f in ffts)
+    seg = jnp.pad(seg, (0, mpad - m), constant_values=nbins)
+    pole_w = tuple(jnp.pad(pw, (0, mpad - m)) for pw in pole_w)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, nbins), 1)
+    npairs = nf * (nf + 1) // 2
+    nrows = npairs * (1 + len(pole_w))
+
+    def blk(acc, c):
+        sls = [jax.lax.dynamic_slice(f, (c,), (chunk,)) for f in ffts]
+        res = [jnp.real(s) for s in sls]
+        ims = [jnp.imag(s) for s in sls]
+        sg = jax.lax.dynamic_slice(seg, (c,), (chunk,))
+        kz = jnp.mod(jnp.arange(chunk, dtype=jnp.int32) + c, kzlen)
+        single = (kz == 0) | ((kz == kzlen - 1) if even else False)
+        dupw = jnp.where(single, jnp.float32(1.0), jnp.float32(2.0))
+        pws = [jax.lax.dynamic_slice(pw, (c,), (chunk,)) for pw in pole_w]
+        rows = []
+        for i in range(nf):
+            for j in range(i + 1):
+                v = (res[i] * res[j] + ims[i] * ims[j]).astype(jnp.float32)
+                rows.append(v * dupw)
+                for pw in pws:
+                    rows.append(v * pw)
+        vd = jnp.stack(rows)
+        oh = (sg[:, None] == cols).astype(jnp.bfloat16)
+        hi = vd.astype(jnp.bfloat16)
+        lo = (vd - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        for part in (hi, lo):
+            acc = acc + jax.lax.dot_general(
+                part, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return acc, None
+
+    acc = jnp.zeros((nrows, nbins), jnp.float32)
+    acc, _ = jax.lax.scan(
+        blk, acc, jnp.arange(mpad // chunk, dtype=jnp.int32) * chunk
+    )
+    return acc.reshape(npairs, 1 + len(pole_w), nbins)
+
+
 def _segsum_sorted(v_sorted, bounds):
     cs = jnp.concatenate([jnp.zeros(1, v_sorted.dtype), jnp.cumsum(v_sorted)])
     return cs[bounds[1:]] - cs[bounds[:-1]]

@@ -193,14 +193,30 @@ def run(nmesh=512, lbox=2000.0, kcut=None, verbose=True):
     log('stage sort+expand', timings['sort_s'], 'K', K, 'pad',
         round(ncell * K / npts, 3))
 
-    # ---- per-field: expand + paint + FFT (one expanded layout at a time) --
+    # ---- all five fields: ONE shared-construction deposit, then FFTs ----
+    # the TSC cloud construction (the deposit bottleneck) is built once
+    # per chunk for all five weight columns (ops/grid.py
+    # paint_grouped_yb_multiw); the five weight expansions (~0.9 GB each)
+    # and five padded grids (~0.54 GB each) are resident together —
+    # peak ~10 GB, still within one v5e
+    from abacusutils_tpu.ops.grid import fold_ypad, paint_grouped_yb_multiw
+
     Wc = get_W_compensated(lbox, nmesh, 'TSC', False).astype(np.float32)
+    names = ['1cb', 'delta', 'delta2', 'tidal2', 'nabla2']
+    sw = [None, *sw]  # index-aligned with names; freed as expanded
 
     @partial(jax.jit, donate_argnums=(3,))
-    def paint_fft(xg, yg, zg, wg):
-        grid = _paint_planned_yb_jit(
-            xg, yg, zg, wg, lbox, 0.0, nmesh, B, K, chunk
+    def paint_all(xg, yg, zg, wgs):
+        gps = jnp.zeros((5, nmesh, nmesh + 2, nmesh), jnp.float32)
+        gps = paint_grouped_yb_multiw(
+            gps, xg.reshape(-1, K), yg.reshape(-1, K), zg.reshape(-1, K),
+            wgs, lbox, 0.0, nmesh, B, chunk=chunk,
         )
+        return gps
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fft_one(grid_p):
+        grid = fold_ypad(grid_p, nmesh)
         # overdensity: field * (size / N_pos) - 1 with N_pos = nmesh^3
         # (get_field normalizes by len(pos) for weighted fields too)
         fft = jnp.fft.rfftn(
@@ -210,25 +226,32 @@ def run(nmesh=512, lbox=2000.0, kcut=None, verbose=True):
         return fft / (W[:, None, None] * W[None, :, None]
                       * W[None, None, :nmesh // 2 + 1])
 
-    names = ['1cb', 'delta', 'delta2', 'tidal2', 'nabla2']
-    sw = [None, *sw]  # index-aligned with names; freed as painted
-    ffts = []
-    per_field = []
-    for i, nm in enumerate(names):
-        t0 = time.perf_counter()
+    t0 = time.perf_counter()
+    wgs = []
+    for i in range(5):
         if i == 0:
-            wg = expand1(jnp.ones((npts,), jnp.float32), starts)
+            wgs.append(expand1(jnp.ones((npts,), jnp.float32), starts))
         else:
-            wg = expand1(sw[i], starts)
+            wgs.append(expand1(sw[i], starts))
             sw[i] = None  # free the sorted source column
-        fft = sync(paint_fft(xg, yg, zg, wg))
-        del wg
-        per_field.append(time.perf_counter() - t0)
-        ffts.append(fft)
-        log(f'paint+fft {nm}', per_field[-1])
-    timings['paint_fft_each_s'] = [round(t, 3) for t in per_field]
-    timings['paint_fft_total_s'] = float(np.sum(per_field))
-    del xg, yg, zg, sw
+    wgs = sync(jnp.stack([w.reshape(-1, K) for w in wgs]))
+    t_expand = time.perf_counter() - t0
+    log('5 weight expansions', t_expand)
+
+    t0 = time.perf_counter()
+    gps = sync(paint_all(xg, yg, zg, wgs))
+    t_paint = time.perf_counter() - t0
+    log('shared 5-field deposit', t_paint)
+    del wgs, xg, yg, zg, sw
+
+    t0 = time.perf_counter()
+    ffts = [sync(fft_one(gps[i])) for i in range(5)]
+    del gps
+    t_fft = time.perf_counter() - t0
+    log('5 x fold+rfftn+compensate', t_fft)
+    timings['paint_fft_each_s'] = [round(t_expand, 3), round(t_paint, 3),
+                                   round(t_fft, 3)]
+    timings['paint_fft_total_s'] = float(t_expand + t_paint + t_fft)
 
     # ---- all 15 P_ij on device ----
     # the reference zcv configs bin with nbins_mu=1 + poles [0, 2, 4]
@@ -237,7 +260,9 @@ def run(nmesh=512, lbox=2000.0, kcut=None, verbose=True):
     # fuse into ONE program per pair: on the axon tunnel every eager op
     # costs a host round-trip, so the get_raw_power -> bin_kmu composition
     # (~10 dispatches/pair) pays seconds of pure latency per spectrum.
-    from abacusutils_tpu.ops.power import _get_mode_bin_plan, _segsum_matmul
+    from abacusutils_tpu.ops.power import (
+        _get_mode_bin_plan, _segsum_matmul_pairs,
+    )
 
     t0 = time.perf_counter()
     k_edges, mu_edges = get_k_mu_edges(
@@ -255,28 +280,27 @@ def run(nmesh=512, lbox=2000.0, kcut=None, verbose=True):
     kzlen = nmesh // 2 + 1
     pole_w = tuple(plan.pole_w_flat[p] for p in poles if p != 0)
 
-    @jax.jit
-    def pair_bins(fi, fj, seg, pole_w):
-        raw = (jnp.conj(fi) * fj).real
-        wflat = raw[:, :, :kzlen].astype(jnp.float32).reshape(-1)
-        return _segsum_matmul(
-            wflat, seg, nbins, kzlen, even=(nmesh % 2 == 0), pole_w=pole_w
-        )
-
+    # ALL 15 pair spectra in one batched one-hot contraction: the bin
+    # one-hot (the dominant cost) is built once per chunk and the 15x3
+    # pair/pole rows ride the same MXU tile as a single spectrum
+    out_all = np.asarray(_segsum_matmul_pairs(
+        tuple(f.reshape(-1) for f in ffts), plan.seg, nbins, kzlen,
+        even=(nmesh % 2 == 0), pole_w=pole_w,
+    ))
     counts = np.asarray(plan.counts, np.int64).reshape(-1)
-    counts_poles = counts  # Nmu == 1: one mu bin per k bin
     pij = {}
+    p = 0
     for i in range(5):
         for j in range(i + 1):
-            out = np.asarray(pair_bins(ffts[i], ffts[j], plan.seg, pole_w))
             with np.errstate(invalid='ignore', divide='ignore'):
-                binned = np.where(counts > 0, out / counts, 0.0) * lbox**3
+                binned = np.where(counts > 0, out_all[p] / counts, 0.0) * lbox**3
             kn = f'{names[i]}_{names[j]}'
             pij[kn] = binned[0]           # P(k) (mu-averaged, Nmu=1)
             pij[f'ell2_{kn}'] = binned[1]  # (2l+1)-weighted l=2, 4 sums
             pij[f'ell4_{kn}'] = binned[2]
+            p += 1
     timings['pij_s'] = time.perf_counter() - t0
-    log('15 P_ij (3 poles each, fused)', timings['pij_s'])
+    log('15 P_ij (3 poles each, one batched contraction)', timings['pij_s'])
 
     total = (timings['ics_s'] + timings['fields_s'] + timings['advect_s']
              + timings['sort_s'] + timings['paint_fft_total_s']

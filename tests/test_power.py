@@ -376,3 +376,43 @@ def test_power_soa_and_device_inputs():
         np.asarray(got_staged['power']),
         np.asarray(s_np.power(kbins=16)['power']),
     )
+
+
+def test_segsum_matmul_pairs_matches_per_pair():
+    """The batched all-pairs reducer (one one-hot for every auto/cross
+    spectrum of a field stack) must match the single-pair _segsum_matmul
+    on each pair, including pole rows and hermitian dup weighting."""
+    import jax.numpy as jnp
+
+    from abacusutils_tpu.ops.power import _segsum_matmul, _segsum_matmul_pairs
+
+    rng = np.random.default_rng(5)
+    nmesh, nbins = 16, 8
+    kzlen = nmesh // 2 + 1
+    m = nmesh * nmesh * kzlen
+    ffts = tuple(
+        jnp.asarray(
+            (rng.normal(size=m) + 1j * rng.normal(size=m)).astype(np.complex64)
+        )
+        for _ in range(3)
+    )
+    seg = jnp.asarray(rng.integers(0, nbins + 1, m).astype(np.int32))
+    pole_w = tuple(
+        jnp.asarray(rng.normal(size=m).astype(np.float32)) for _ in range(2)
+    )
+
+    batched = np.asarray(
+        _segsum_matmul_pairs(ffts, seg, nbins, kzlen, pole_w=pole_w)
+    )
+    p = 0
+    for i in range(3):
+        for j in range(i + 1):
+            raw = (jnp.conj(ffts[i]) * ffts[j]).real.astype(jnp.float32)
+            single = np.asarray(
+                _segsum_matmul(raw, seg, nbins, kzlen, pole_w=pole_w)
+            )
+            np.testing.assert_allclose(
+                batched[p], single, rtol=1e-6,
+                atol=1e-4 * np.abs(single).max(), err_msg=f'pair {i},{j}',
+            )
+            p += 1

@@ -223,3 +223,66 @@ def test_paint_planned2_offset():
     out = np.asarray(paint_planned2(plan, pos[:, 0], pos[:, 1], pos[:, 2], chunk=128))
     ref = np.asarray(paint_3d(pos, nmesh, box, offset=d, kind='tsc', wrap=True))
     npt.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_paint_grouped_yb_multiw_matches_per_field():
+    """The shared-construction multi-weight deposit (one position set, F
+    weight columns, F grids) must equal F independent grouped paints."""
+    import jax.numpy as jnp
+
+    from abacusutils_tpu.models.pipeline import group_inputs2d
+    from abacusutils_tpu.ops.grid import (
+        fold_ypad, paint_grouped_yb, paint_grouped_yb_multiw,
+    )
+
+    nmesh, lbox, B, F = 16, 100.0, 8, 3
+    rng = np.random.default_rng(9)
+    n = 4000
+    # pipeline convention: positions in [-L/2, L/2), grouped on x+L/2,
+    # painted at x+L/2 (mirrors hod_pk_fused_yb)
+    pos = (rng.random((n, 3)) * lbox - lbox / 2).astype(np.float32)
+    ws = rng.normal(1.0, 0.3, (F, n)).astype(np.float32)
+
+    cat = {'x': pos[:, 0], 'y': pos[:, 1], 'z': pos[:, 2]}
+    for f in range(F):
+        cat[f'w{f}'] = ws[f]
+    g, plan = group_inputs2d(cat, nmesh, lbox, yb=B, chunk=64)
+    K = plan.K
+    ncell = nmesh * (nmesh // B)
+
+    import jax
+
+    half = jnp.float32(lbox / 2)
+
+    @jax.jit
+    def one(wg):
+        gp = jnp.zeros((nmesh, nmesh + 2, nmesh), jnp.float32)
+        gp = paint_grouped_yb(
+            gp, (g['x'] + half).reshape(ncell, K),
+            (g['y'] + half).reshape(ncell, K),
+            (g['z'] + half).reshape(ncell, K), wg.reshape(ncell, K),
+            lbox, 0.0, nmesh, B, K, 64,
+        )
+        return fold_ypad(gp, nmesh)
+
+    @jax.jit
+    def multi(wgs):
+        gps = jnp.zeros((F, nmesh, nmesh + 2, nmesh), jnp.float32)
+        gps = paint_grouped_yb_multiw(
+            gps, (g['x'] + half).reshape(ncell, K),
+            (g['y'] + half).reshape(ncell, K),
+            (g['z'] + half).reshape(ncell, K), wgs.reshape(F, ncell, K),
+            lbox, 0.0, nmesh, B, chunk=64,
+        )
+        return jnp.stack([fold_ypad(gps[f], nmesh) for f in range(F)])
+
+    wgs = jnp.stack([g[f'w{f}'] for f in range(F)])
+    batched = np.asarray(multi(wgs))
+    for f in range(F):
+        single = np.asarray(one(g[f'w{f}']))
+        np.testing.assert_allclose(
+            batched[f], single, rtol=1e-6, atol=1e-6 * np.abs(single).max(),
+            err_msg=f'field {f}',
+        )
+        # mass conservation per field
+        np.testing.assert_allclose(batched[f].sum(), ws[f].sum(), rtol=1e-4)
