@@ -160,6 +160,32 @@ def main(
     pk_ij_dict = {'k_binc': k_binc, 'mu_binc': mu_binc}
     header = {'sim_name': sim_name, 'Lbox': Lbox, 'nmesh': nmesh, 'kcut': kcut}
 
+    if not save_3D_power and nmesh <= 512:
+        # all 15 P_ij in one batched bin contraction: each FFT is loaded
+        # and uploaded ONCE (the per-pair loop reads every field 6x), and
+        # the bin one-hot is shared across pairs (ops.power
+        # calc_pk_pairs_from_deltak); nf x nmesh^3 c64 must fit on device
+        from ...ops.power import calc_pk_pairs_from_deltak
+
+        print('Computing all P_ij in one batched contraction')
+        res = calc_pk_pairs_from_deltak(
+            [_load_fft(i) for i in range(len(keynames))],
+            Lbox, k_bin_edges, mu_bin_edges, poles=np.asarray(poles),
+        )
+        for i in range(len(keynames)):
+            for j in range(i + 1):
+                P = res[(i, j)]
+                scale = field_D[i] * field_D[j]
+                kn_ij = f'{keynames[i]}_{keynames[j]}'
+                pk_ij_dict[f'P_kmu_{kn_ij}'] = np.asarray(P['power']) * scale
+                pk_ij_dict[f'N_kmu_{kn_ij}'] = np.asarray(P['N_mode'])
+                pk_ij_dict[f'P_ell_{kn_ij}'] = (
+                    np.asarray(P['binned_poles']) * scale
+                )
+                pk_ij_dict[f'N_ell_{kn_ij}'] = np.asarray(P['N_mode_poles'])
+        compress_asdf(str(power_ij_fn), pk_ij_dict, header)
+        return pk_ij_dict
+
     for i in range(len(keynames)):
         for j in range(len(keynames)):
             if i < j:

@@ -187,6 +187,54 @@ def _mode_geometry(n1d):
 _MODE_BIN_PLANS = {}
 
 
+@partial(jax.jit, static_argnames=('n1d', 'Nk', 'Nmu', 'npoles'))
+def _mode_bin_plan_device(kedges2, muedges2, pole_coeffs, n1d, Nk, Nmu,
+                          npoles):
+    """seg / counts / ksum / pole weights of the (k,mu) mode binning, on
+    device: the host build is pure elementwise numpy + searchsorted over
+    n1d^2*(n1d/2+1) modes (minutes of 1-core time at nmesh=512); here the
+    edge binning is a compare-sum (edges <= 257) and the reductions ride
+    _segsum_matmul. Bit-compatible with the host build: kmag2/mu2 are the
+    same f32 values, the compare-sums reproduce searchsorted(side='left'),
+    and counts are exact integers in f32 (< 2^24 per bin pair)."""
+    i = jnp.arange(n1d, dtype=jnp.int32)
+    i2 = jnp.where(i < n1d // 2, i, i - n1d).astype(jnp.float32) ** 2
+    kzlen = n1d // 2 + 1
+    kz2 = (jnp.arange(kzlen, dtype=jnp.float32)) ** 2
+    kmag2 = i2[:, None, None] + i2[None, :, None] + kz2[None, None, :]
+    mu2 = jnp.where(kmag2 > 0, kz2[None, None, :] / kmag2, 0.0)
+    kflat = kmag2.reshape(-1)
+    muflat = mu2.reshape(-1)
+
+    def ssorted_left(edges, v, n_edges):
+        # np.searchsorted(edges, v, side='left') == #(edges < v)
+        out = jnp.zeros(v.shape, jnp.int32)
+        for b in range(n_edges):
+            out = out + (edges[b] < v)
+        return out
+
+    bk = jnp.clip(ssorted_left(kedges2, kflat, Nk + 1) - 1, 0, Nk - 1)
+    bmu = jnp.clip(ssorted_left(muedges2, muflat, Nmu + 1) - 1, 0, Nmu - 1)
+    valid = (kflat >= kedges2[0]) & (kflat < kedges2[-1])
+    seg = jnp.where(valid, bk * Nmu + bmu, Nk * Nmu).astype(jnp.int32)
+
+    even = n1d % 2 == 0
+    counts = _segsum_matmul(
+        jnp.ones_like(kflat), seg, Nk * Nmu, kzlen, even=even
+    )
+    ksum = _segsum_matmul(jnp.sqrt(kflat), seg, Nk * Nmu, kzlen, even=even)
+    pole_w = []
+    for p in range(npoles):
+        pw = jnp.zeros_like(muflat)
+        for c in range(pole_coeffs.shape[1]):
+            pw = pw + pole_coeffs[p, c] * muflat**c
+        kz = jnp.mod(jnp.arange(kflat.shape[0], dtype=jnp.int32), kzlen)
+        single = (kz == 0) | ((kz == kzlen - 1) if even else False)
+        dup = jnp.where(single, jnp.float32(1.0), jnp.float32(2.0))
+        pole_w.append(pw * dup)
+    return seg, counts, ksum, pole_w
+
+
 class _ModeBinPlan:
     def __init__(self, n1d, kedges2, muedges2, poles, yslab=None):
         """yslab=(y0, y1) restricts the plan to the ky rows [y0, y1) of the
@@ -195,6 +243,16 @@ class _ModeBinPlan:
         Nk = len(kedges2) - 1
         Nmu = len(muedges2) - 1
         kzlen = n1d // 2 + 1
+        nonzero_poles = [p for p in poles if p != 0]
+        if (
+            yslab is None
+            and n1d * n1d * kzlen > (1 << 24)
+            and all(p % 2 == 0 for p in nonzero_poles)
+        ):
+            self._init_device(
+                n1d, kedges2, muedges2, nonzero_poles, Nk, Nmu, kzlen
+            )
+            return
         i = np.arange(n1d)
         i2 = np.where(i < n1d // 2, i, i - n1d).astype(np.int64) ** 2
         iy2 = i2 if yslab is None else i2[yslab[0]:yslab[1]]
@@ -226,31 +284,23 @@ class _ModeBinPlan:
         seg = np.where(valid, bk * Nmu + bmu, Nk * Nmu)
 
         self.seg = jnp.asarray(seg.astype(np.int32))  # matmul-binning path
-        perm = np.argsort(seg, kind='stable').astype(np.int32)
-        seg_sorted = seg[perm]
-        bounds = np.searchsorted(seg_sorted, np.arange(Nk * Nmu + 1)).astype(np.int32)
-
         self.Nk, self.Nmu = Nk, Nmu
-        self.perm = jnp.asarray(perm)
-        self.bounds = jnp.asarray(bounds)
-        self.dup_sorted = jnp.asarray(dupflat[perm])
-        # data-independent reductions (include bounds[-1] as terminator so the
-        # invalid-mode tail is excluded; reduceat returns arr[b] for empty
-        # segments, zeroed below)
-        def _reduceat(arr):
-            ext = np.concatenate([arr[perm], [0.0]])
-            out = np.add.reduceat(ext, bounds)[: Nk * Nmu]
-            out[np.diff(bounds) == 0] = 0
-            return out
+        # the matmul-binning consumers (fused pipelines, advect bench) only
+        # touch seg/counts/ksum/pole_w_flat: counts/ksum come from O(n)
+        # bincounts, and the sort-plan pieces (a stable 67M argsort at
+        # nmesh=512, minutes of 1-core host time) build lazily on first
+        # gather-path access
+        nseg = Nk * Nmu
+        self._seg_np = seg
+        self._dupflat = dupflat
 
-        self.counts = _reduceat(dupflat).reshape(Nk, Nmu)
-        self.ksum = _reduceat(np.sqrt(kflat) * dupflat).reshape(Nk, Nmu)
-        # per-pole mode weights in sorted order (bk-major sort => k bounds too)
-        self.kbounds = np.searchsorted(
-            seg_sorted // Nmu if Nmu > 1 else seg_sorted, np.arange(Nk + 1)
-        ).astype(np.int32)
-        self.kbounds = jnp.asarray(self.kbounds)
-        self.pole_w = {}
+        def _segsum(w):
+            out = np.bincount(seg, weights=w, minlength=nseg + 1)[:nseg]
+            return out.reshape(Nk, Nmu)
+
+        self.counts = _segsum(dupflat)
+        self.ksum = _segsum(np.sqrt(kflat) * dupflat)
+        self._pole_pw = {}
         self.pole_w_flat = {}
         for pole in poles:
             if pole == 0:
@@ -259,8 +309,68 @@ class _ModeBinPlan:
             for c, p in _legendre_coeffs(pole):
                 pw += c * muflat ** (0.5 * p) if p % 2 else c * muflat ** (p // 2)
             pwd = ((2 * pole + 1) * pw * dupflat).astype(np.float32)
-            self.pole_w[pole] = jnp.asarray(pwd[perm])
+            self._pole_pw[pole] = pwd
             self.pole_w_flat[pole] = jnp.asarray(pwd)  # matmul-binning path
+
+    def _init_device(self, n1d, kedges2, muedges2, poles, Nk, Nmu, kzlen):
+        """Device build for big meshes (no ky slab, even poles only): the
+        host build is minutes of 1-core numpy at nmesh >= 512. counts are
+        exact; ksum accumulates through the bf16 hi/lo MXU reduction
+        (~1e-5 relative on the reported k_avg vs the host f64 bincount)."""
+        maxdeg = max([p // 2 for p in poles], default=0)
+        pole_coeffs = np.zeros((len(poles), maxdeg + 1), np.float32)
+        for ip, pole in enumerate(poles):
+            for c, p in _legendre_coeffs(pole):
+                pole_coeffs[ip, p // 2] += (2 * pole + 1) * c
+        seg, counts, ksum, pole_w = _mode_bin_plan_device(
+            jnp.asarray(kedges2), jnp.asarray(muedges2),
+            jnp.asarray(pole_coeffs), n1d, Nk, Nmu, len(poles),
+        )
+        self.Nk, self.Nmu = Nk, Nmu
+        self._kzlen, self._even = kzlen, n1d % 2 == 0
+        self.seg = seg
+        self.counts = np.asarray(counts, np.float64).reshape(Nk, Nmu)
+        self.ksum = np.asarray(ksum, np.float64).reshape(Nk, Nmu)
+        self.pole_w_flat = {p: pole_w[ip] for ip, p in enumerate(poles)}
+        # gather-path pieces (_build_sort_plan) derive lazily from these
+        self._pole_pw = {
+            p: np.asarray(pole_w[ip]) for ip, p in enumerate(poles)
+        }
+
+    def _build_sort_plan(self):
+        if not hasattr(self, '_seg_np'):
+            # device-built plan: download seg and rebuild the dup weights
+            # from the kz structure (identical to the host construction)
+            self._seg_np = np.asarray(self.seg).astype(np.int64)
+            kz = np.arange(self._seg_np.shape[0], dtype=np.int64) % self._kzlen
+            dup = np.where(kz == 0, 1.0, 2.0).astype(np.float32)
+            if self._even:
+                dup[kz == self._kzlen - 1] = 1.0
+            self._dupflat = dup
+        seg, Nk, Nmu = self._seg_np, self.Nk, self.Nmu
+        perm = np.argsort(seg, kind='stable').astype(np.int32)
+        seg_sorted = seg[perm]
+        bounds = np.searchsorted(seg_sorted, np.arange(Nk * Nmu + 1)).astype(
+            np.int32
+        )
+        self._perm_np = perm
+        self.perm = jnp.asarray(perm)
+        self.bounds = jnp.asarray(bounds)
+        self.dup_sorted = jnp.asarray(self._dupflat[perm])
+        # per-pole mode weights in sorted order (bk-major sort => k bounds)
+        self.kbounds = jnp.asarray(
+            np.searchsorted(
+                seg_sorted // Nmu if Nmu > 1 else seg_sorted,
+                np.arange(Nk + 1),
+            ).astype(np.int32)
+        )
+        self.pole_w = {p: jnp.asarray(pw[perm]) for p, pw in self._pole_pw.items()}
+
+    def __getattr__(self, name):
+        if name in ('perm', 'bounds', 'dup_sorted', 'kbounds', 'pole_w'):
+            self._build_sort_plan()
+            return object.__getattribute__(self, name)
+        raise AttributeError(name)
 
 
 def _get_mode_bin_plan(n1d, kedges2, muedges2, poles, yslab=None):
@@ -810,6 +920,95 @@ def calc_pk_from_deltak(
         N_mode_poles=N_mode_poles,
         k_avg=k_avg,
     )
+
+
+@partial(jax.jit, static_argnames=('kzlen',))
+def _flatten_fft_jit(f, kzlen):
+    return f[:, :, :kzlen].reshape(-1)
+
+
+def calc_pk_pairs_from_deltak(
+    ffts, Lbox, k_bin_edges, mu_bin_edges, poles=np.empty(0, 'i8'),
+    squeeze_mu_axis=True,
+):
+    """calc_pk_from_deltak for EVERY auto/cross pair of a Fourier field
+    stack, sharing one bin one-hot (_segsum_matmul_pairs) — the zcv
+    advection P_ij workload computes all nf*(nf+1)/2 spectra in roughly
+    the cost of one. Applicable when the matmul binning path is (Nk*Nmu
+    <= 256 and poles only at Nmu == 1); otherwise falls back to per-pair
+    calc_pk_from_deltak on the same (uploaded-once) device stack.
+
+    Returns {(i, j): dict like calc_pk_from_deltak's} for i >= j.
+    Cross order is symmetric for the real part, so (i, j) == (j, i).
+    """
+    kedges = np.asarray(k_bin_edges)
+    muedges = np.asarray(mu_bin_edges)
+    Nk, Nmu = len(kedges) - 1, len(muedges) - 1
+    poles = tuple(int(p) for p in np.asarray(poles))
+    pole_nz = tuple(p for p in poles if p != 0)
+    ffts_d = [_to_device_complex(f) for f in ffts]
+    nf = len(ffts_d)
+
+    if not (Nk * Nmu <= 256 and (not poles or Nmu == 1)):
+        return {
+            (i, j): calc_pk_from_deltak(
+                ffts_d[i], Lbox, kedges, muedges, field2_fft=ffts_d[j],
+                poles=np.asarray(poles, 'i8'),
+                squeeze_mu_axis=squeeze_mu_axis,
+            )
+            for i in range(nf) for j in range(i + 1)
+        }
+
+    n1d = int(ffts_d[0].shape[0])
+    kzlen = n1d // 2 + 1
+    dk = 2.0 * np.pi / Lbox
+    kedges2 = ((kedges / dk) ** 2).astype(np.float32)
+    muedges2 = (muedges**2).astype(np.float32)
+    plan = _get_mode_bin_plan(n1d, kedges2, muedges2, poles)
+    flat = tuple(_flatten_fft_jit(f, kzlen) for f in ffts_d)
+    out = np.asarray(_segsum_matmul_pairs(
+        flat, plan.seg, Nk * Nmu, kzlen, even=(n1d % 2 == 0),
+        pole_w=tuple(plan.pole_w_flat[p] for p in pole_nz),
+    ))
+
+    counts = np.asarray(plan.counts, np.int64)
+    counts_poles = counts.sum(axis=1)
+    with np.errstate(invalid='ignore', divide='ignore'):
+        k_avg = np.where(
+            counts != 0, np.asarray(plan.ksum) * dk / counts, 0.0
+        ).astype(np.float32)
+
+    results = {}
+    p = 0
+    for i in range(nf):
+        for j in range(i + 1):
+            rows = out[p]
+            p += 1
+            wsum = rows[0].reshape(Nk, Nmu)
+            with np.errstate(invalid='ignore', divide='ignore'):
+                power = np.where(counts != 0, wsum / counts, 0.0).astype(
+                    np.float32
+                ) * Lbox**3
+            binned_poles = np.zeros((len(poles), Nk), np.float32)
+            N_mode_poles = counts_poles
+            r = 1
+            for ip, pole in enumerate(poles):
+                ps = wsum.sum(axis=1) if pole == 0 else rows[r]
+                if pole != 0:
+                    r += 1
+                with np.errstate(invalid='ignore', divide='ignore'):
+                    binned_poles[ip] = np.where(
+                        counts_poles != 0, ps / counts_poles, 0.0
+                    )
+            binned_poles = binned_poles * Lbox**3
+            power_o, N_o, k_o = power, counts, k_avg
+            if squeeze_mu_axis and Nmu == 1:
+                power_o, N_o, k_o = power[:, 0], counts[:, 0], k_avg[:, 0]
+            results[(i, j)] = dict(
+                power=power_o, N_mode=N_o, binned_poles=binned_poles,
+                N_mode_poles=N_mode_poles, k_avg=k_o,
+            )
+    return results
 
 
 def project_3d_to_poles(k_bin_edges, raw_p3d, Lbox, poles):

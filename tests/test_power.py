@@ -416,3 +416,86 @@ def test_segsum_matmul_pairs_matches_per_pair():
                 atol=1e-4 * np.abs(single).max(), err_msg=f'pair {i},{j}',
             )
             p += 1
+
+
+def test_mode_bin_plan_device_matches_host():
+    """The device-built mode-bin plan (big-mesh path) must match the host
+    build: identical seg/counts, exact pole weights, ksum to reduction
+    rounding, and a working lazily-derived sort plan."""
+    from abacusutils_tpu.ops import power as pw
+
+    nmesh, lbox = 32, 500.0
+    k_edges, mu_edges = pw.get_k_mu_edges(
+        lbox, np.pi * nmesh / lbox, nmesh // 2, 1, False
+    )
+    dk = 2 * np.pi / lbox
+    ke2 = ((k_edges / dk) ** 2).astype(np.float32)
+    me2 = (mu_edges ** 2).astype(np.float32)
+    poles = (0, 2, 4)
+
+    host = pw._ModeBinPlan(nmesh, ke2, me2, poles)
+    dev = pw._ModeBinPlan.__new__(pw._ModeBinPlan)
+    dev._init_device(
+        nmesh, ke2, me2, [p for p in poles if p], len(ke2) - 1,
+        len(me2) - 1, nmesh // 2 + 1,
+    )
+
+    np.testing.assert_array_equal(np.asarray(dev.seg), np.asarray(host.seg))
+    np.testing.assert_array_equal(dev.counts, host.counts)
+    np.testing.assert_allclose(dev.ksum, host.ksum, rtol=2e-5)
+    for p in (2, 4):
+        # device pre-folds (2l+1) into the monomial coeffs: last-ulp f32
+        # multiply-order differences only
+        np.testing.assert_allclose(
+            np.asarray(dev.pole_w_flat[p]), np.asarray(host.pole_w_flat[p]),
+            rtol=5e-6, atol=1e-5,
+        )
+    # lazy sort plan on the device-built plan
+    np.testing.assert_array_equal(np.asarray(dev.perm), np.asarray(host.perm))
+    np.testing.assert_array_equal(
+        np.asarray(dev.dup_sorted), np.asarray(host.dup_sorted)
+    )
+    for p in (2, 4):
+        np.testing.assert_allclose(
+            np.asarray(dev.pole_w[p]), np.asarray(host.pole_w[p]),
+            rtol=5e-6, atol=1e-5,
+        )
+
+
+def test_calc_pk_pairs_from_deltak_matches_per_pair():
+    """The batched all-pairs P(k) API must reproduce calc_pk_from_deltak
+    for every pair, on both the matmul path (Nmu=1 + poles) and the
+    fallback (Nmu>1)."""
+    from abacusutils_tpu.ops.power import (
+        calc_pk_from_deltak, calc_pk_pairs_from_deltak, get_k_mu_edges,
+    )
+
+    rng = np.random.default_rng(12)
+    nmesh, lbox = 16, 250.0
+    kz = nmesh // 2 + 1
+    ffts = [
+        (rng.normal(size=(nmesh, nmesh, kz))
+         + 1j * rng.normal(size=(nmesh, nmesh, kz))).astype(np.complex64)
+        for _ in range(3)
+    ]
+    for nmu, poles in ((1, (0, 2, 4)), (4, ())):
+        kedges, muedges = get_k_mu_edges(
+            lbox, np.pi * nmesh / lbox, nmesh // 2, nmu, False
+        )
+        batched = calc_pk_pairs_from_deltak(
+            ffts, lbox, kedges, muedges, poles=np.asarray(poles, 'i8')
+        )
+        for i in range(3):
+            for j in range(i + 1):
+                single = calc_pk_from_deltak(
+                    ffts[i], lbox, kedges, muedges, field2_fft=ffts[j],
+                    poles=np.asarray(poles, 'i8'),
+                )
+                b = batched[(i, j)]
+                for key in ('power', 'N_mode', 'binned_poles',
+                            'N_mode_poles', 'k_avg'):
+                    np.testing.assert_allclose(
+                        np.asarray(b[key]), np.asarray(single[key]),
+                        rtol=2e-5, atol=1e-5,
+                        err_msg=f'{key} pair {i},{j} nmu={nmu}',
+                    )
