@@ -206,15 +206,14 @@ def _mode_bin_plan_device(kedges2, muedges2, pole_coeffs, n1d, Nk, Nmu,
     kflat = kmag2.reshape(-1)
     muflat = mu2.reshape(-1)
 
-    def ssorted_left(edges, v, n_edges):
-        # np.searchsorted(edges, v, side='left') == #(edges < v)
-        out = jnp.zeros(v.shape, jnp.int32)
-        for b in range(n_edges):
-            out = out + (edges[b] < v)
-        return out
+    def ssorted_left(edges, v):
+        # np.searchsorted(edges, v, side='left') == #(edges < v); the
+        # broadcasted compare fuses into one reduce (a Python-unrolled
+        # per-edge loop compiled minutes over the remote tunnel)
+        return (v[:, None] > edges[None, :]).astype(jnp.int32).sum(axis=1)
 
-    bk = jnp.clip(ssorted_left(kedges2, kflat, Nk + 1) - 1, 0, Nk - 1)
-    bmu = jnp.clip(ssorted_left(muedges2, muflat, Nmu + 1) - 1, 0, Nmu - 1)
+    bk = jnp.clip(ssorted_left(kedges2, kflat) - 1, 0, Nk - 1)
+    bmu = jnp.clip(ssorted_left(muedges2, muflat) - 1, 0, Nmu - 1)
     valid = (kflat >= kedges2[0]) & (kflat < kedges2[-1])
     seg = jnp.where(valid, bk * Nmu + bmu, Nk * Nmu).astype(jnp.int32)
 
@@ -332,15 +331,16 @@ class _ModeBinPlan:
         self.counts = np.asarray(counts, np.float64).reshape(Nk, Nmu)
         self.ksum = np.asarray(ksum, np.float64).reshape(Nk, Nmu)
         self.pole_w_flat = {p: pole_w[ip] for ip, p in enumerate(poles)}
-        # gather-path pieces (_build_sort_plan) derive lazily from these
-        self._pole_pw = {
-            p: np.asarray(pole_w[ip]) for ip, p in enumerate(poles)
-        }
 
     def _build_sort_plan(self):
         if not hasattr(self, '_seg_np'):
-            # device-built plan: download seg and rebuild the dup weights
-            # from the kz structure (identical to the host construction)
+            # device-built plan: download seg (and the pole weights) and
+            # rebuild the dup weights from the kz structure (identical to
+            # the host construction); ~0.8 GB of tunnel downloads on the
+            # dev box, paid only if the gather path is actually used
+            self._pole_pw = {
+                p: np.asarray(pw) for p, pw in self.pole_w_flat.items()
+            }
             self._seg_np = np.asarray(self.seg).astype(np.int64)
             kz = np.arange(self._seg_np.shape[0], dtype=np.int64) % self._kzlen
             dup = np.where(kz == 0, 1.0, 2.0).astype(np.float32)
