@@ -106,6 +106,43 @@ def get_tracer_power(
 
     header = {'sim_name': sim_name, 'Lbox': Lbox, 'nmesh': nmesh, 'kcut': kcut}
 
+    def _load_field(i):
+        with open_asdf(fields_fft_fn[i]) as f:
+            kn = keynames[i]
+            return np.asarray(f['data'][f'{kn}_Re']) + 1j * np.asarray(
+                f['data'][f'{kn}_Im']
+            )
+
+    if not save_3D_power and nmesh <= 512:
+        # tracer auto + all field crosses in one batched contraction
+        # (the per-mock REPEATED zcv cost): the tracer FFT is uploaded
+        # once instead of per cross, and the bin one-hot is shared
+        from ...ops.power import calc_pk_pairs_from_deltak
+
+        print('Computing tracer auto + field crosses in one contraction')
+        stack = [tr_field_fft] + [_load_field(i) for i in range(len(keynames))]
+        res = calc_pk_pairs_from_deltak(
+            stack, Lbox, k_bin_edges, mu_bin_edges, poles=np.asarray(poles),
+            pairs=tuple([(0, 0)] + [(i + 1, 0) for i in range(len(keynames))]),
+        )
+        del stack
+        for tag_ij, scale, P in (
+            [('tr_tr', 1.0, res[(0, 0)])]
+            + [
+                (f'{kn}_tr', field_D[i], res[(i + 1, 0)])
+                for i, kn in enumerate(keynames)
+            ]
+        ):
+            pk_tr_dict[f'P_kmu_{tag_ij}'] = np.asarray(P['power']) * scale
+            pk_tr_dict[f'N_kmu_{tag_ij}'] = np.asarray(P['N_mode'])
+            pk_tr_dict[f'P_ell_{tag_ij}'] = (
+                np.asarray(P['binned_poles']) * scale
+            )
+            pk_tr_dict[f'N_ell_{tag_ij}'] = np.asarray(P['N_mode_poles'])
+        if want_save:
+            compress_asdf(str(power_tr_fn), pk_tr_dict, header)
+        return pk_tr_dict
+
     print('Computing auto-correlation of tracer')
     if save_3D_power:
         power_tr_fns = []
@@ -125,10 +162,7 @@ def get_tracer_power(
 
     for i, kn in enumerate(keynames):
         print('Computing cross-correlation of tracer and ', kn)
-        with open_asdf(fields_fft_fn[i]) as f:
-            field_fft_i = np.asarray(f['data'][f'{kn}_Re']) + 1j * np.asarray(
-                f['data'][f'{kn}_Im']
-            )
+        field_fft_i = _load_field(i)
         if save_3D_power:
             pk3d = np.array((field_fft_i * np.conj(tr_field_fft)).real, dtype=np.float32)
             pk3d *= field_D[i]

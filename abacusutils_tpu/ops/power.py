@@ -446,9 +446,10 @@ def _segsum_matmul(wflat, seg, nbins, kzlen, chunk=1 << 20, pole_w=(),
     return acc[0] if not pole_w else acc
 
 
-@partial(jax.jit, static_argnames=('nbins', 'kzlen', 'chunk', 'even'))
+@partial(jax.jit, static_argnames=('nbins', 'kzlen', 'chunk', 'even',
+                                   'pairs'))
 def _segsum_matmul_pairs(ffts, seg, nbins, kzlen, chunk=1 << 19, pole_w=(),
-                         even=True):
+                         even=True, pairs=None):
     """All auto/cross pair bin sums of a field stack in ONE one-hot
     contraction.
 
@@ -463,8 +464,10 @@ def _segsum_matmul_pairs(ffts, seg, nbins, kzlen, chunk=1 << 19, pole_w=(),
     nmesh=512 bins in roughly the cost of one spectrum.
 
     Returns (npairs, 1+len(pole_w), nbins) f32, pair p = (i, j) in
-    i-major i>=j order, rows within a pair ordered [dup-weighted, *pole_w]
-    exactly like _segsum_matmul's output rows.
+    i-major i>=j order (or in `pairs` order when given), rows within a
+    pair ordered [dup-weighted, *pole_w] exactly like _segsum_matmul's
+    output rows. `pairs` (static tuple of (i, j)) restricts which pairs
+    are computed.
     """
     nf = len(ffts)
     m = ffts[0].shape[0]
@@ -474,7 +477,9 @@ def _segsum_matmul_pairs(ffts, seg, nbins, kzlen, chunk=1 << 19, pole_w=(),
     seg = jnp.pad(seg, (0, mpad - m), constant_values=nbins)
     pole_w = tuple(jnp.pad(pw, (0, mpad - m)) for pw in pole_w)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, nbins), 1)
-    npairs = nf * (nf + 1) // 2
+    if pairs is None:
+        pairs = tuple((i, j) for i in range(nf) for j in range(i + 1))
+    npairs = len(pairs)
     nrows = npairs * (1 + len(pole_w))
 
     def blk(acc, c):
@@ -487,12 +492,11 @@ def _segsum_matmul_pairs(ffts, seg, nbins, kzlen, chunk=1 << 19, pole_w=(),
         dupw = jnp.where(single, jnp.float32(1.0), jnp.float32(2.0))
         pws = [jax.lax.dynamic_slice(pw, (c,), (chunk,)) for pw in pole_w]
         rows = []
-        for i in range(nf):
-            for j in range(i + 1):
-                v = (res[i] * res[j] + ims[i] * ims[j]).astype(jnp.float32)
-                rows.append(v * dupw)
-                for pw in pws:
-                    rows.append(v * pw)
+        for i, j in pairs:
+            v = (res[i] * res[j] + ims[i] * ims[j]).astype(jnp.float32)
+            rows.append(v * dupw)
+            for pw in pws:
+                rows.append(v * pw)
         vd = jnp.stack(rows)
         oh = (sg[:, None] == cols).astype(jnp.bfloat16)
         hi = vd.astype(jnp.bfloat16)
@@ -929,7 +933,7 @@ def _flatten_fft_jit(f, kzlen):
 
 def calc_pk_pairs_from_deltak(
     ffts, Lbox, k_bin_edges, mu_bin_edges, poles=np.empty(0, 'i8'),
-    squeeze_mu_axis=True,
+    squeeze_mu_axis=True, pairs=None,
 ):
     """calc_pk_from_deltak for EVERY auto/cross pair of a Fourier field
     stack, sharing one bin one-hot (_segsum_matmul_pairs) — the zcv
@@ -938,8 +942,9 @@ def calc_pk_pairs_from_deltak(
     <= 256 and poles only at Nmu == 1); otherwise falls back to per-pair
     calc_pk_from_deltak on the same (uploaded-once) device stack.
 
-    Returns {(i, j): dict like calc_pk_from_deltak's} for i >= j.
-    Cross order is symmetric for the real part, so (i, j) == (j, i).
+    Returns {(i, j): dict like calc_pk_from_deltak's}, for i >= j (all
+    pairs) or for the requested `pairs`. Cross order is symmetric for
+    the real part, so (i, j) == (j, i).
     """
     kedges = np.asarray(k_bin_edges)
     muedges = np.asarray(mu_bin_edges)
@@ -948,6 +953,9 @@ def calc_pk_pairs_from_deltak(
     pole_nz = tuple(p for p in poles if p != 0)
     ffts_d = [_to_device_complex(f) for f in ffts]
     nf = len(ffts_d)
+    if pairs is None:
+        pairs = tuple((i, j) for i in range(nf) for j in range(i + 1))
+    pairs = tuple((int(i), int(j)) for i, j in pairs)
 
     if not (Nk * Nmu <= 256 and (not poles or Nmu == 1)):
         return {
@@ -956,7 +964,7 @@ def calc_pk_pairs_from_deltak(
                 poles=np.asarray(poles, 'i8'),
                 squeeze_mu_axis=squeeze_mu_axis,
             )
-            for i in range(nf) for j in range(i + 1)
+            for i, j in pairs
         }
 
     n1d = int(ffts_d[0].shape[0])
@@ -968,7 +976,7 @@ def calc_pk_pairs_from_deltak(
     flat = tuple(_flatten_fft_jit(f, kzlen) for f in ffts_d)
     out = np.asarray(_segsum_matmul_pairs(
         flat, plan.seg, Nk * Nmu, kzlen, even=(n1d % 2 == 0),
-        pole_w=tuple(plan.pole_w_flat[p] for p in pole_nz),
+        pole_w=tuple(plan.pole_w_flat[p] for p in pole_nz), pairs=pairs,
     ))
 
     counts = np.asarray(plan.counts, np.int64)
@@ -979,35 +987,32 @@ def calc_pk_pairs_from_deltak(
         ).astype(np.float32)
 
     results = {}
-    p = 0
-    for i in range(nf):
-        for j in range(i + 1):
-            rows = out[p]
-            p += 1
-            wsum = rows[0].reshape(Nk, Nmu)
+    for p, (i, j) in enumerate(pairs):
+        rows = out[p]
+        wsum = rows[0].reshape(Nk, Nmu)
+        with np.errstate(invalid='ignore', divide='ignore'):
+            power = np.where(counts != 0, wsum / counts, 0.0).astype(
+                np.float32
+            ) * Lbox**3
+        binned_poles = np.zeros((len(poles), Nk), np.float32)
+        N_mode_poles = counts_poles
+        r = 1
+        for ip, pole in enumerate(poles):
+            ps = wsum.sum(axis=1) if pole == 0 else rows[r]
+            if pole != 0:
+                r += 1
             with np.errstate(invalid='ignore', divide='ignore'):
-                power = np.where(counts != 0, wsum / counts, 0.0).astype(
-                    np.float32
-                ) * Lbox**3
-            binned_poles = np.zeros((len(poles), Nk), np.float32)
-            N_mode_poles = counts_poles
-            r = 1
-            for ip, pole in enumerate(poles):
-                ps = wsum.sum(axis=1) if pole == 0 else rows[r]
-                if pole != 0:
-                    r += 1
-                with np.errstate(invalid='ignore', divide='ignore'):
-                    binned_poles[ip] = np.where(
-                        counts_poles != 0, ps / counts_poles, 0.0
-                    )
-            binned_poles = binned_poles * Lbox**3
-            power_o, N_o, k_o = power, counts, k_avg
-            if squeeze_mu_axis and Nmu == 1:
-                power_o, N_o, k_o = power[:, 0], counts[:, 0], k_avg[:, 0]
-            results[(i, j)] = dict(
-                power=power_o, N_mode=N_o, binned_poles=binned_poles,
-                N_mode_poles=N_mode_poles, k_avg=k_o,
-            )
+                binned_poles[ip] = np.where(
+                    counts_poles != 0, ps / counts_poles, 0.0
+                )
+        binned_poles = binned_poles * Lbox**3
+        power_o, N_o, k_o = power, counts, k_avg
+        if squeeze_mu_axis and Nmu == 1:
+            power_o, N_o, k_o = power[:, 0], counts[:, 0], k_avg[:, 0]
+        results[(i, j)] = dict(
+            power=power_o, N_mode=N_o, binned_poles=binned_poles,
+            N_mode_poles=N_mode_poles, k_avg=k_o,
+        )
     return results
 
 
