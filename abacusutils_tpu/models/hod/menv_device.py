@@ -50,18 +50,21 @@ def _pow2ceil(n):
     return 1 << max(0, int(n) - 1).bit_length()
 
 
-@partial(jax.jit, static_argnames=('cap', 'block', 'periodic'))
+@partial(jax.jit, static_argnames=('cap_a', 'cap_w', 'block', 'periodic'))
 def _menv_class(out, xs, ys, zs, ms, rs, sel,
                 a_starts, a_occ, w_starts, w_lens,
-                r_out2, lbox, cap, block, periodic):
+                r_out2, lbox, cap_a, cap_w, block, periodic):
     """Annulus mass sums for every (selected) halo of each cell in one
-    capacity class. Windows and rows are dynamic slices of the sorted
-    arrays; pad columns are masked by window length, pad rows merge the
-    old output values."""
+    (row-capacity, window-capacity) class. Rows and windows are separate
+    power-of-two classes — a 2-halo cell next to a 300-halo clump must
+    not pay 512x512 pair tiles. Windows and rows are dynamic slices of
+    the sorted arrays; pad columns are masked by window length, pad rows
+    merge the old output values."""
     nh = a_starts.shape[0]
-    iota = jnp.arange(cap)
-    rchunk = max(1, min(cap, (1 << 20) // cap))
-    n_rblocks = -(-cap // rchunk)
+    iota_a = jnp.arange(cap_a)
+    iota_w = jnp.arange(cap_w)
+    rchunk = max(1, min(cap_a, (1 << 20) // cap_w))
+    n_rblocks = -(-cap_a // rchunk)
 
     def mi(d):
         if periodic:
@@ -69,19 +72,19 @@ def _menv_class(out, xs, ys, zs, ms, rs, sel,
         return d
 
     def one_cell(out, s, na, ws, wl):
-        ax = jax.lax.dynamic_slice(xs, (s,), (cap,))
-        ay = jax.lax.dynamic_slice(ys, (s,), (cap,))
-        az = jax.lax.dynamic_slice(zs, (s,), (cap,))
-        ar2 = jax.lax.dynamic_slice(rs, (s,), (cap,)) ** 2
-        arow = (iota < na) & jax.lax.dynamic_slice(sel, (s,), (cap,))
+        ax = jax.lax.dynamic_slice(xs, (s,), (cap_a,))
+        ay = jax.lax.dynamic_slice(ys, (s,), (cap_a,))
+        az = jax.lax.dynamic_slice(zs, (s,), (cap_a,))
+        ar2 = jax.lax.dynamic_slice(rs, (s,), (cap_a,)) ** 2
+        arow = (iota_a < na) & jax.lax.dynamic_slice(sel, (s,), (cap_a,))
 
         def wbody(w, acc):
             t = ws[w]
-            bx = jax.lax.dynamic_slice(xs, (t,), (cap,))
-            by = jax.lax.dynamic_slice(ys, (t,), (cap,))
-            bz = jax.lax.dynamic_slice(zs, (t,), (cap,))
-            bm = jax.lax.dynamic_slice(ms, (t,), (cap,))
-            bm = jnp.where(iota < wl[w], bm, jnp.zeros((), bm.dtype))
+            bx = jax.lax.dynamic_slice(xs, (t,), (cap_w,))
+            by = jax.lax.dynamic_slice(ys, (t,), (cap_w,))
+            bz = jax.lax.dynamic_slice(zs, (t,), (cap_w,))
+            bm = jax.lax.dynamic_slice(ms, (t,), (cap_w,))
+            bm = jnp.where(iota_w < wl[w], bm, jnp.zeros((), bm.dtype))
 
             def rblock(r, acc):
                 r0 = r * rchunk
@@ -101,8 +104,8 @@ def _menv_class(out, xs, ys, zs, ms, rs, sel,
 
             return jax.lax.fori_loop(0, n_rblocks, rblock, acc)
 
-        acc = jax.lax.fori_loop(0, 27, wbody, jnp.zeros(cap, ms.dtype))
-        old = jax.lax.dynamic_slice(out, (s,), (cap,))
+        acc = jax.lax.fori_loop(0, 27, wbody, jnp.zeros(cap_a, ms.dtype))
+        old = jax.lax.dynamic_slice(out, (s,), (cap_a,))
         return jax.lax.dynamic_update_slice(
             out, jnp.where(arow, acc, old), (s,)
         )
@@ -116,6 +119,131 @@ def _menv_class(out, xs, ys, zs, ms, rs, sel,
         return out
 
     return jax.lax.fori_loop(0, -(-nh // block), body, out)
+
+
+_VEC_MAX_CAP = 64      # vectorized path: global per-cell capacity bound
+_VEC_MAX_SLOTS = 3 * 10**8  # ... and layout slot bound
+
+
+@partial(jax.jit, static_argnames=('capG', 'cblock', 'periodic'))
+def _menv_vec(NB, AX, AY, AZ, AR2, ASEL, w_rows, r_out2, lbox,
+              capG, cblock, periodic):
+    """Vectorized annulus sums: all cells share one power-of-two capacity
+    capG, the neighbor side is a (rows+1, 4*capG) x|y|z|m packed layout
+    (>= 64 f32 lanes, the fast row-gather regime), and each scan step
+    processes a cblock of cells against all 27 neighbor rows as
+    (cblock, capG, capG) tiles — the per-cell dynamic-slice loop pays
+    ~5 us of addressing per window, which at ~1e6 live cells x 27 windows
+    dominates everything (measured 107 s at 2M clumped halos; this path:
+    ~1 s). Pad slots carry x=inf (matches no ball) and m=0."""
+    nu = AX.shape[0]
+    nblk = nu // cblock
+
+    def mi(d):
+        if periodic:
+            return d - lbox * jnp.round(d / lbox)
+        return d
+
+    def blk(carry, b):
+        c0 = b * cblock
+        z0 = jnp.zeros((), c0.dtype)
+        sl2 = lambda A: jax.lax.dynamic_slice(  # noqa: E731
+            A, (c0, z0), (cblock, capG)
+        )
+        ax, ay, az = sl2(AX), sl2(AY), sl2(AZ)
+        ar2 = sl2(AR2)
+        asel = sl2(ASEL)
+
+        def obody(o, acc):
+            idx = jax.lax.dynamic_slice(
+                w_rows, (jnp.asarray(o, c0.dtype), c0), (1, cblock)
+            )[0]
+            nb = NB[idx]  # (cblock, 4*capG) fast row gather
+            bx, by, bz, bm = (
+                nb[:, :capG], nb[:, capG:2 * capG],
+                nb[:, 2 * capG:3 * capG], nb[:, 3 * capG:4 * capG],
+            )
+            dx = mi(ax[:, :, None] - bx[:, None, :])
+            dy = mi(ay[:, :, None] - by[:, None, :])
+            dz = mi(az[:, :, None] - bz[:, None, :])
+            d2 = (dx * dx + dy * dy) + dz * dz
+            ann = (
+                (d2 <= r_out2).astype(bm.dtype)
+                - (d2 <= ar2[:, :, None]).astype(bm.dtype)
+            )
+            return acc + (ann * bm[:, None, :]).sum(axis=2)
+
+        acc = jax.lax.fori_loop(
+            0, w_rows.shape[0], obody, jnp.zeros((cblock, capG), AX.dtype)
+        )
+        return carry, jnp.where(asel, acc, jnp.zeros((), AX.dtype))
+
+    _, out = jax.lax.scan(blk, 0, jnp.arange(nblk, dtype=jnp.int32))
+    return out.reshape(nu, capG)
+
+
+@partial(jax.jit, static_argnames=('capG', 'nu', 'nupad'))
+def _menv_vec_layouts(xs, ys, zs, ms, rs, sel, dest, capG, nu, nupad):
+    """Scatter the cell-sorted point columns into the vectorized path's
+    layouts: the packed (nu+1, 4*capG) x|y|z|m neighbor layout (pad/empty
+    slots: x=inf matches no ball, m=0) and the (nupad, capG) row-side
+    arrays."""
+    def scat(col, fill, rows):
+        base = jnp.full((rows * capG,), fill, col.dtype)
+        return base.at[dest].set(col, mode='drop', unique_indices=True)
+
+    X = scat(xs, jnp.inf, nu + 1)
+    Y = scat(ys, 0.0, nu + 1)
+    Z = scat(zs, 0.0, nu + 1)
+    M = scat(ms, 0.0, nu + 1)
+    NB = jnp.concatenate(
+        [A.reshape(nu + 1, capG) for A in (X, Y, Z, M)], axis=1
+    )
+
+    def rowside(flat, rows):
+        a = flat.reshape(rows, capG)[:nu]
+        return jnp.concatenate(
+            [a, jnp.zeros((nupad - nu, capG), a.dtype)], axis=0
+        )
+
+    AX = rowside(X, nu + 1)
+    AY = rowside(Y, nu + 1)
+    AZ = rowside(Z, nu + 1)
+    AR2 = rowside(scat(rs * rs, 0.0, nu + 1), nu + 1)
+    ASEL = rowside(
+        scat(sel.astype(xs.dtype), 0.0, nu + 1), nu + 1
+    ) > 0.5
+    return NB, AX, AY, AZ, AR2, ASEL
+
+
+def _menv_vec_dispatch(xs, ys, zs, ms, rs, sel, ix, n, nu, uocc, ustart,
+                       w_rows, capG, r_outer, Lbox, periodic, fdt):
+    """Host orchestration of the vectorized path: build the slot map,
+    scatter the layouts, run the chunked kernel, unsort."""
+    rank = np.arange(n, dtype=np.int64) - np.repeat(ustart, uocc)
+    rowid = np.repeat(np.arange(nu, dtype=np.int64), uocc)
+    dest = jnp.asarray((rowid * capG + rank).astype(np.int32))
+
+    cblock = max(256, (1 << 25) // (capG * capG))
+    nupad = -(-nu // cblock) * cblock
+    w_rows_pad = np.full((w_rows.shape[0], nupad), nu, np.int32)
+    w_rows_pad[:, :nu] = w_rows
+
+    NB, AX, AY, AZ, AR2, ASEL = _menv_vec_layouts(
+        xs[:n], ys[:n], zs[:n], ms[:n], rs[:n], sel[:n], dest,
+        int(capG), int(nu), int(nupad),
+    )
+    out = _menv_vec(
+        NB, AX, AY, AZ, AR2, ASEL, jnp.asarray(w_rows_pad),
+        jnp.asarray(np.asarray(r_outer, fdt)) ** 2,
+        jnp.asarray(np.asarray(Lbox if periodic else 0.0, fdt)),
+        int(capG), int(cblock), periodic,
+    )
+    vals = out.reshape(-1)[dest]
+    menv = jnp.zeros(n, out.dtype).at[ix[:n]].set(
+        vals, mode='drop', unique_indices=True
+    )
+    return np.array(menv, dtype=np.float64)
 
 
 def _axis_neighbors(n, periodic):
@@ -235,15 +363,20 @@ def do_menv_device(
             # sparse table back to raw cell ids for the window arithmetic
             ukeys = cell_of_dense[ukeys]
 
+        nu = len(ukeys)
+
         def lookup(wc, ok):
-            """(start, len) of arbitrary cell ids via the sparse table."""
+            """(start, len, row) of arbitrary cell ids via the sparse
+            table; absent cells get (0, 0, nu) — nu is the vectorized
+            path's empty sentinel row."""
             p = np.searchsorted(ukeys, wc)
-            found = ok & (p < len(ukeys))
-            p = np.minimum(p, len(ukeys) - 1)
+            found = ok & (p < nu)
+            p = np.minimum(p, nu - 1)
             found &= ukeys[p] == wc
             return (
                 np.where(found, ustart[p], 0).astype(np.int32),
                 np.where(found, uocc[p], 0).astype(np.int32),
+                np.where(found, p, nu).astype(np.int32),
             )
 
         # 27 single-cell windows per live cell (host index arithmetic)
@@ -251,8 +384,9 @@ def do_menv_device(
         nbr_i = _axis_neighbors(int(ncs[0]), periodic)[li]  # (L,3)
         nbr_j = _axis_neighbors(int(ncs[1]), periodic)[lj]
         nbr_k = _axis_neighbors(int(ncs[2]), periodic)[lk]
-        w_starts = np.zeros((27, len(ukeys)), np.int32)
-        w_lens = np.zeros((27, len(ukeys)), np.int32)
+        w_starts = np.zeros((27, nu), np.int32)
+        w_lens = np.zeros((27, nu), np.int32)
+        w_rows = np.zeros((27, nu), np.int32)
         o = 0
         for a in range(3):
             for b in range(3):
@@ -260,20 +394,50 @@ def do_menv_device(
                     wi, wj, wk = nbr_i[:, a], nbr_j[:, b], nbr_k[:, c]
                     ok = (wi >= 0) & (wj >= 0) & (wk >= 0)
                     wc = (wi * ncs[1] + wj) * ncs[2] + wk
-                    w_starts[o], w_lens[o] = lookup(wc, ok)
+                    w_starts[o], w_lens[o], w_rows[o] = lookup(wc, ok)
                     o += 1
 
-        # capacity classes on the largest window (the self cell is one
-        # of the 27, so rows fit too); merge sparse classes upward
+        capG = max(16, _pow2ceil(int(uocc.max())))
+        if capG <= _VEC_MAX_CAP and (nu + 1) * capG <= _VEC_MAX_SLOTS:
+            return _menv_vec_dispatch(
+                xs, ys, zs, ms, rs, sel, ix, n, nu, uocc, ustart, w_rows,
+                capG, r_outer, Lbox, periodic, fdt,
+            )
+
+        # separate row-side (own occupancy) and window-side (largest
+        # neighbor) power-of-two capacities: a sparse cell next to a
+        # dense clump pays occ x clump tiles, not clump x clump. Sparse
+        # (capA, capW) classes merge upward (row side first) so each jit
+        # specialization covers >= 64 cells.
         wmax = w_lens.max(axis=0)
-        caps_all = np.maximum(8, 2 ** np.ceil(np.log2(wmax)).astype(int))
-        uniq = np.unique(caps_all)
-        for a in range(len(uniq) - 1):
-            if np.count_nonzero(caps_all == uniq[a]) < 64:
-                caps_all[caps_all == uniq[a]] = uniq[a + 1]
+        capw = np.maximum(
+            8, 2 ** np.ceil(np.log2(np.maximum(wmax, 1))).astype(int)
+        )
+        capa = np.maximum(
+            8, 2 ** np.ceil(np.log2(np.maximum(uocc, 1))).astype(int)
+        )
+        capa = np.minimum(capa, capw)  # self window bounds occ <= wmax
+        while True:
+            keys, cnts = np.unique(
+                np.stack([capa, capw], 1), axis=0, return_counts=True
+            )
+            if len(keys) == 1:
+                break
+            merged = False
+            for (ca, cw), c in zip(keys, cnts):
+                if c >= 64:
+                    continue
+                m = (capa == ca) & (capw == cw)
+                if ca < cw:
+                    capa[m] = min(ca * 2, cw)
+                else:
+                    capw[m] = cw * 2
+                merged = True
+            if not merged:
+                break
 
         # pad the sorted arrays so slice start+cap never clamps
-        capmax = int(caps_all.max())
+        capmax = int(capw.max())
         tail = jnp.full(capmax, jnp.inf, fdt)
         xs = jnp.concatenate([xs, tail])
         ys = jnp.concatenate([ys, tail])
@@ -285,16 +449,16 @@ def do_menv_device(
         out = jnp.zeros(npad + capmax, fdt)
         r_out2 = jnp.asarray(np.asarray(r_outer, fdt)) ** 2
         lbox_d = jnp.asarray(np.asarray(Lbox if periodic else 0.0, fdt))
-        for cap in np.unique(caps_all):
-            in_c = caps_all == cap
-            block = int(max(1, min(16, 4096 // cap)))
+        for ca, cw in np.unique(np.stack([capa, capw], 1), axis=0):
+            in_c = (capa == ca) & (capw == cw)
+            block = int(max(1, min(16, 4096 // cw)))
             out = _menv_class(
                 out, xs, ys, zs, ms, rs, sel,
                 jnp.asarray(ustart[in_c].astype(np.int32)),
                 jnp.asarray(uocc[in_c].astype(np.int32)),
                 jnp.asarray(w_starts[:, in_c]),
                 jnp.asarray(w_lens[:, in_c]),
-                r_out2, lbox_d, int(cap), block, periodic,
+                r_out2, lbox_d, int(ca), int(cw), block, periodic,
             )
 
         # unsort to input order (pad rows carry sentinel idx n -> dropped)

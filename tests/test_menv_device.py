@@ -96,3 +96,23 @@ def test_menv_device_mini_box_both_layouts(testdata):
             calc_fenv_opt(b, mbins, mass), calc_fenv_opt(a, mbins, mass),
             err_msg=f'cleaned={cleaned}',
         )
+
+
+def test_menv_device_loop_fallback_path(monkeypatch):
+    """The per-cell dynamic-slice fallback (extreme occupancies) must
+    agree with the tree engine too (the vectorized path is gated on a
+    global capacity bound; force past it)."""
+    from abacusutils_tpu.models.hod import menv_device
+
+    monkeypatch.setattr(menv_device, '_VEC_MAX_CAP', 0)
+    rng = np.random.default_rng(6)
+    L, rout, n = 150.0, 10.0, 6000
+    pos = _clustered(rng, n, L, nclump=25, sigma_frac=0.03)
+    mass = np.exp(rng.normal(27, 1.5, n))
+    rin = (rng.random(n) * 0.5 + 0.1).astype(np.float32)
+    mcut = float(np.median(mass))
+    a = do_Menv_from_tree(pos, mass, r_inner=rin, r_outer=rout,
+                          halo_lc=False, Lbox=L, mcut=mcut)
+    b = menv_device.do_menv_device(pos, mass, r_inner=rin, r_outer=rout,
+                                   halo_lc=False, Lbox=L, mcut=mcut)
+    _assert_menv_equal(a, b)
