@@ -70,6 +70,13 @@ def run(nmesh=512, lbox=2000.0, kcut=None, verbose=True):
             np.asarray(jnp.sum(leaf.ravel()[:1].real.astype(jnp.float32)))
         return x
 
+    # backend/tunnel initialization (device handshake + first dispatch)
+    # is a fixed per-process cost — keep it out of the stage timings
+    t0 = time.perf_counter()
+    np.asarray(jnp.zeros(8, jnp.float32).sum())
+    timings['init_s'] = time.perf_counter() - t0
+    log('backend init (one-time)', timings['init_s'])
+
     # ---- synthesize a Gaussian IC density on device ----
     # Stages are download-sync-serialized so (a) timings are attributed to
     # the right stage and (b) two big transient footprints never share the
