@@ -278,6 +278,31 @@ def get_recon_power(
     fields = {'delta': delta_fft, 'deltamu2': _from_device_complex(get_delta_mu2(delta_fft, nmesh))}
 
     header = {'sim_name': sim_name, 'Lbox': Lbox, 'nmesh': nmesh, 'kcut': kcut}
+
+    if not save_3D_power and nmesh <= 512:
+        # tracer auto + both linear-field crosses in one batched
+        # contraction (per-mock repeated cost, like the zcv route)
+        from ...ops.power import calc_pk_pairs_from_deltak
+
+        print('Computing tracer auto + linear crosses in one contraction')
+        stack = [tr_field_fft] + [fields[kn] for kn in keynames]
+        res = calc_pk_pairs_from_deltak(
+            stack, Lbox, k_bin_edges, mu_bin_edges, poles=np.asarray(poles),
+            pairs=tuple([(0, 0)] + [(i + 1, 0) for i in range(len(keynames))]),
+        )
+        del stack
+        for tag_ij, P in (
+            [('tr_tr', res[(0, 0)])]
+            + [(f'{kn}_tr', res[(i + 1, 0)]) for i, kn in enumerate(keynames)]
+        ):
+            pk_tr_dict[f'P_kmu_{tag_ij}'] = np.asarray(P['power'])
+            pk_tr_dict[f'N_kmu_{tag_ij}'] = np.asarray(P['N_mode'])
+            pk_tr_dict[f'P_ell_{tag_ij}'] = np.asarray(P['binned_poles'])
+            pk_tr_dict[f'N_ell_{tag_ij}'] = np.asarray(P['N_mode_poles'])
+        if want_save:
+            compress_asdf(str(power_tr_fn), pk_tr_dict, header)
+        return pk_tr_dict
+
     print('Computing auto-correlation of tracer')
     if save_3D_power:
         power_tr_fns = []
