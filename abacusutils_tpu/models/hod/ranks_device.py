@@ -12,10 +12,12 @@ particle arrays:
   cumulative-max scan (no per-element gathers);
 - the NFW perihelion iteration is elementwise (20 fixed steps, like the
   reference's loop);
-- the nearest-neighbor distance runs per capacity class: halo particle
-  windows are dynamic-sliced straight out of the contiguous file-order
-  arrays (particles of a halo are contiguous), padded to the class'
-  power-of-two capacity, and reduced by a row-chunked pairwise minimum.
+- the nearest-neighbor distance takes two routes: halos with <= 64
+  particles (the vast majority) pack into one (halo, slot) layout and
+  reduce as big chunked pairwise tiles (per-halo dynamic slices pay ~5 us
+  of addressing each — the menv_device lesson); bigger halos run a
+  capacity-classed per-window scan whose large tiles amortize that
+  overhead.
 
 RNG draws are untouched: the submasks are drawn by the caller in the
 reference's exact per-halo order before this module runs (the rank math
@@ -142,37 +144,111 @@ def _nn_class_scan(out, px, py, pz, starts, counts, cap, block):
     return jax.lax.fori_loop(0, -(-nh // block), body, out)
 
 
+_NN_VEC_CAP = 64  # halos this small batch through the packed layout
+
+
+@partial(jax.jit, static_argnames=('nrows', 'capG', 'cblock'))
+def _nn_small_vec(px, py, pz, src, dest, nrows, capG, cblock):
+    """NN distances for all halos with <= capG particles at once: pack
+    each halo into one row of an (nrows, capG) layout (pads at +inf) and
+    process row chunks as (cblock, capG, capG) pairwise tiles — per-halo
+    dynamic slices pay ~5 us of addressing each, which dominates at 1e5+
+    small halos (the menv_device lesson). Returns the flat (nrows*capG,)
+    layout of NN distances; callers unpack via the same dest map."""
+    S = nrows * capG
+
+    def pack(col):
+        base = jnp.full((S,), jnp.inf, col.dtype)
+        return base.at[dest].set(col[src], mode='drop', unique_indices=True)
+
+    X = pack(px).reshape(nrows, capG)
+    Y = pack(py).reshape(nrows, capG)
+    Z = pack(pz).reshape(nrows, capG)
+    iota = jnp.arange(capG)
+    eye_inf = jnp.where(
+        iota[:, None] == iota[None, :], jnp.asarray(jnp.inf, px.dtype), 0.0
+    )
+
+    def blk(carry, b):
+        c0 = b * cblock
+        z0 = jnp.zeros((), c0.dtype)
+        sl = lambda A: jax.lax.dynamic_slice(  # noqa: E731
+            A, (c0, z0), (cblock, capG)
+        )
+        x, y, z = sl(X), sl(Y), sl(Z)
+        dx = x[:, :, None] - x[:, None, :]
+        dy = y[:, :, None] - y[:, None, :]
+        dz = z[:, :, None] - z[:, None, :]
+        d2 = (dx * dx + dy * dy) + dz * dz + eye_inf[None]
+        # pad slots are +inf coords: inf - inf = nan -> replace with inf
+        d2 = jnp.where(jnp.isnan(d2), jnp.asarray(jnp.inf, d2.dtype), d2)
+        return carry, jnp.sqrt(d2.min(axis=2))
+
+    _, out = jax.lax.scan(
+        blk, 0, jnp.arange(nrows // cblock, dtype=jnp.int32)
+    )
+    return out.reshape(S)
+
+
 def _nn_dists(ppos, pstart, pnum, dtype):
     """Nearest-neighbor distance (sqrt, matching cKDTree.query(k=2)'s f64
-    math) for every particle of every listed halo window, via capacity
-    classes."""
+    math) for every particle of every listed halo window: small halos
+    (<= 64 particles, the vast majority of a slab) batch through one
+    packed-layout pairwise kernel; big halos run the capacity-classed
+    window scan (whose large tiles amortize the per-window addressing).
+    Device-resident end to end."""
     n = len(ppos)
     pstart = np.asarray(pstart, np.int64)
     pnum = np.asarray(pnum, np.int64)
     if len(pstart) == 0:
         return jnp.zeros(n, dtype)
-    cap_of = np.maximum(
-        2, 2 ** np.ceil(np.log2(np.maximum(pnum, 2))).astype(int)
-    )
-    # pad the coordinate arrays so no window clamps (pads sit at +inf ->
-    # infinite distance, never the minimum)
-    maxcap = int(cap_of.max())
-    pad = np.full(maxcap, np.inf, dtype)
-    px = jnp.asarray(np.concatenate([np.asarray(ppos[:, 0], dtype), pad]))
-    py = jnp.asarray(np.concatenate([np.asarray(ppos[:, 1], dtype), pad]))
-    pz = jnp.asarray(np.concatenate([np.asarray(ppos[:, 2], dtype), pad]))
-    out = jnp.zeros(n + maxcap, dtype)
-    for cap in np.unique(cap_of):
-        in_c = cap_of == cap
-        block = int(max(1, min(16, 4096 // cap)))
-        out = _nn_class_scan(
-            out, px, py, pz,
-            jnp.asarray(pstart[in_c], jnp.int32),
-            jnp.asarray(pnum[in_c], jnp.int32),
-            int(cap), block,
-        )
-    return out[:n]
 
+    px = jnp.asarray(np.asarray(ppos[:, 0], dtype))
+    py = jnp.asarray(np.asarray(ppos[:, 1], dtype))
+    pz = jnp.asarray(np.asarray(ppos[:, 2], dtype))
+    nn = jnp.zeros(n, dtype)
+
+    big = pnum > _NN_VEC_CAP
+    if big.any():
+        ps_b, pn_b = pstart[big], pnum[big]
+        cap_of = 2 ** np.ceil(np.log2(pn_b)).astype(int)
+        maxcap = int(cap_of.max())
+        pad = jnp.full(maxcap, jnp.inf, dtype)
+        pxd = jnp.concatenate([px, pad])
+        pyd = jnp.concatenate([py, pad])
+        pzd = jnp.concatenate([pz, pad])
+        out = jnp.concatenate([nn, jnp.zeros(maxcap, dtype)])
+        for cap in np.unique(cap_of):
+            in_c = cap_of == cap
+            block = int(max(1, min(16, 4096 // cap)))
+            out = _nn_class_scan(
+                out, pxd, pyd, pzd,
+                jnp.asarray(ps_b[in_c], jnp.int32),
+                jnp.asarray(pn_b[in_c], jnp.int32),
+                int(cap), block,
+            )
+        nn = out[:n]
+
+    small = ~big
+    if small.any():
+        ps_s, pn_s = pstart[small], pnum[small]
+        capG = max(8, 1 << int(pn_s.max() - 1).bit_length())
+        cblock = max(256, (1 << 24) // (capG * capG))
+        H = len(ps_s)
+        Hpad = -(-H // cblock) * cblock
+        rank = np.arange(int(pn_s.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(np.concatenate([[0], pn_s]))[:-1], pn_s
+        )
+        src = np.repeat(ps_s, pn_s) + rank
+        dest = np.repeat(np.arange(H, dtype=np.int64), pn_s) * capG + rank
+        src_d = jnp.asarray(src.astype(np.int32))
+        flat = _nn_small_vec(
+            px, py, pz, src_d, jnp.asarray(dest.astype(np.int32)),
+            int(Hpad), int(capG), int(cblock),
+        )
+        nn = nn.at[src_d].set(flat[jnp.asarray(dest.astype(np.int32))],
+                              mode='drop', unique_indices=True)
+    return nn
 
 @jax.jit
 def _rank_keys(dx, dy, dz, dvx, dvy, dvz, alpha, rs_p):
