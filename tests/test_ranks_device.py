@@ -164,33 +164,47 @@ def test_rank_fields_device_large_halo_classes():
 
 
 def test_prepare_sim_ranks_engines_agree(tmp_path, testdata):
-    """prepare_sim end to end with want_ranks=True on the Mini box: the
-    device and host rank engines produce identical h5 outputs (tie-aware
-    for ranksc), and the bit-exact RNG columns are untouched by the
-    engine choice."""
+    """prepare_slab end to end with want_ranks=True on one Mini slab (the
+    compared file is slab 2's): the device and host rank engines produce
+    identical h5 outputs (tie-aware for ranksc), and the bit-exact RNG
+    columns are untouched by the engine choice. One slab, want_AB off
+    (Menv engine equality is test_menv_device's contract; the rank fields
+    and the legacy RNG stream do not depend on it) — the full-main version
+    of this test took 374 s, this one covers the same rank-engine contract
+    at a third of the slabs and none of the env padding loads."""
     import h5py
     import yaml
 
     from abacusutils_tpu.models.hod import prepare_sim
 
+    config = yaml.safe_load(open(testdata / 'abacus_hod.yaml'))
+    tracer_flags = config['HOD_params']['tracer_flags']
+    assert tracer_flags['ELG'] or tracer_flags['QSO']  # MT filename below
+
     outs = {}
     for engine in ('host', 'device'):
-        config = yaml.safe_load(open(testdata / 'abacus_hod.yaml'))
-        config['sim_params']['sim_dir'] = str(testdata)
-        config['sim_params']['output_dir'] = str(tmp_path / engine / 'mocks') + '/'
-        config['sim_params']['subsample_dir'] = str(tmp_path / engine / 'subs') + '/'
-        config['sim_params']['scratch_dir'] = str(tmp_path / engine / 'gals') + '/'
-        config['HOD_params']['want_ranks'] = True
-        config['prepare_sim']['ranks_engine'] = engine
-        prepare_sim.main(str(testdata / 'abacus_hod.yaml'), params=config)
-        simname = config['sim_params']['sim_name']
-        z = config['sim_params']['z_mock']
-        savedir = (
-            config['sim_params']['subsample_dir']
-            + simname + '/z' + str(z).ljust(5, '0')
+        savedir = tmp_path / engine
+        savedir.mkdir()
+        prepare_sim.prepare_slab(
+            2,
+            savedir=str(savedir),
+            simdir=str(testdata),
+            simname=config['sim_params']['sim_name'],
+            z_mock=float(config['sim_params']['z_mock']),
+            z_type='primary',
+            tracer_flags=tracer_flags,
+            MT=True,
+            want_ranks=True,
+            want_AB=False,
+            want_shear=False,
+            shearmark=None,
+            cleaning=config['sim_params']['cleaned_halos'],
+            newseed=600,
+            numslabs=3,
+            ranks_engine=engine,
         )
         fn = 'particles_xcom_2_seed600_abacushod_oldfenv_MT_withranks_new.h5'
-        with h5py.File(f'{savedir}/{fn}', 'r') as f:
+        with h5py.File(savedir / fn, 'r') as f:
             outs[engine] = f['particles'][:]
 
     a, b = outs['host'], outs['device']
