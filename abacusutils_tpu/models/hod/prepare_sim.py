@@ -32,21 +32,23 @@ from .menv import do_Menv_from_tree
 def _do_menv(engine, pos, mass, r_inner, r_outer, halo_lc, Lbox,
              nthread=1, mcut=1e11):
     """Menv engine dispatch: 'auto' takes the device grid engine
-    (menv_device) only where it reproduces the cKDTree classification
-    bit-for-bit (CPU backends, via a local x64 scope); TPU has no f64,
-    where an f32 boundary flip moves Menv by a whole halo mass, so
-    strict parity keeps the tree engine there unless the user opts into
-    menv_engine: device."""
+    (menv_device) on every backend — f64-capable backends (CPU) run it
+    under a local x64 scope with cKDTree-bit-identical classification;
+    f32-only backends (TPU) run the double-float32 kernels (exact
+    classification away from < ~2^-45-relative ball-boundary
+    degeneracies; menv_device docstring).
+    engine: 'auto' | 'host' | 'device' (backend-auto precision) |
+    'device-x64' | 'device-exact32' (forced precision, e.g. to exercise
+    the TPU arithmetic on a CPU test backend)."""
     if engine == 'auto':
-        import jax
-
-        engine = 'device' if jax.default_backend() == 'cpu' else 'host'
-    if engine == 'device':
+        engine = 'device'
+    if engine.startswith('device'):
         from .menv_device import do_menv_device
 
+        precision = engine.split('-', 1)[1] if '-' in engine else 'auto'
         return do_menv_device(
             pos, mass, r_inner=r_inner, r_outer=r_outer,
-            halo_lc=halo_lc, Lbox=Lbox, mcut=mcut,
+            halo_lc=halo_lc, Lbox=Lbox, mcut=mcut, precision=precision,
         )
     return do_Menv_from_tree(
         pos, mass, r_inner=r_inner, r_outer=r_outer,
@@ -434,15 +436,21 @@ def prepare_slab(
         # device rank staging: the RNG draws stay in the loop below in the
         # reference's exact per-halo order; the rank math (no RNG) is
         # deferred to one batched device program (ranks_device). 'auto'
-        # takes the device engine only where it is bit-exact vs the host
-        # loop (CPU backends, via a local x64 scope); TPU has no f64, so
-        # strict golden parity keeps the host loop there unless the user
-        # opts into ranks_engine: device.
+        # takes the device engine on every backend: f64-capable backends
+        # (CPU) run it under a local x64 scope bit-exact vs the host
+        # loop, f32-only backends (TPU) sort exact (hi, lo, lo2) splits
+        # of host-computed f64 keys and a double-float32 NN kernel
+        # (ranks_device docstring) — same rank order away from < 2^-46
+        # relative key degeneracies.
+        # ranks_engine: 'auto' | 'host' | 'device' (backend-auto
+        # precision) | 'device-x64' | 'device-exact32' (forced precision,
+        # e.g. to exercise the TPU arithmetic on a CPU test backend)
         if want_ranks and ranks_engine == 'auto':
-            import jax
-
-            ranks_engine = 'device' if jax.default_backend() == 'cpu' else 'host'
-        use_device_ranks = want_ranks and ranks_engine == 'device'
+            ranks_engine = 'device'
+        use_device_ranks = want_ranks and ranks_engine.startswith('device')
+        ranks_precision = (
+            ranks_engine.split('-', 1)[1] if '-' in ranks_engine else 'auto'
+        )
         if use_device_ranks:
             seg_parts = np.full(len_old, -1, np.int32)
             nsub_parts = np.zeros(len_old, np.float64)
@@ -522,6 +530,7 @@ def prepare_slab(
                 ppos_all, pvel_all, mask_parts.astype(bool), seg_parts,
                 nsub_parts, np.asarray(ranked_ps), np.asarray(ranked_pn),
                 hpos_parts, hvel_parts, Mh_parts, r25h_parts, r98h_parts, h,
+                precision=ranks_precision,
             )
             upd = seg_parts >= 0  # keep the loop's -1/singleton fills
             ranks_parts[upd] = r[upd]

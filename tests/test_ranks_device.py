@@ -1,10 +1,14 @@
 """Device rank decorations (prepare_sim want_ranks) vs the host per-halo
 loop: exact equality of all five rank fields (tie-aware for the NN rank,
 whose mutual-nearest-neighbor ties have unspecified order under numpy's
-unstable argsort — ranks_device.py docstring)."""
+unstable argsort — ranks_device.py docstring). Both precision modes are
+covered: 'x64' (the CPU-backend local-x64 scope) and 'exact32' (the
+f32-only TPU arithmetic — host f64 keys sorted as exact f32 triples +
+the double-float32 NN kernel — forced here on the CPU test backend)."""
 
 import numpy as np
 import numpy.testing as npt
+import pytest
 
 from abacusutils_tpu.models.hod.prepare_sim import _rank_fields
 from abacusutils_tpu.models.hod.ranks_device import rank_fields_device
@@ -34,7 +38,8 @@ def _synthetic_slab(seed=11, n_halo=80, max_pn=50):
     return ps, pn, n, hpos, hvel, N, r25, r98, ppos, pvel, submask
 
 
-def test_rank_fields_device_matches_host():
+@pytest.mark.parametrize('precision', ['x64', 'exact32'])
+def test_rank_fields_device_matches_host(precision):
     Mpart, h = 2.1e9, 0.6736
     ps, pn, n, hpos, hvel, N, r25, r98, ppos, pvel, submask = _synthetic_slab()
     n_halo = len(ps)
@@ -66,11 +71,12 @@ def test_rank_fields_device_matches_host():
         r98_p[sl] = r98[j]
     dev = rank_fields_device(
         ppos, pvel, submask, seg, nsub_p, ps, pn,
-        hpos_p, hvel_p, mass_p, r25_p, r98_p, h,
+        hpos_p, hvel_p, mass_p, r25_p, r98_p, h, precision=precision,
     )
 
     # distance/velocity/perihelion/radial ranks: continuous keys, no ties
-    # -> bit-exact (the device path takes a local x64 scope on CPU)
+    # -> bit-exact (host-computed keys in both modes; 'exact32' sorts the
+    # f64 perihelion key as an exact (hi, lo, lo2) f32 triple)
     for name, a, b in zip(
         ('ranks', 'ranksv', 'ranksp', 'ranksr'), host[:4], dev[:4]
     ):
@@ -99,7 +105,8 @@ def test_rank_fields_device_matches_host():
     assert n_tied > 0
 
 
-def test_rank_fields_device_large_halo_classes():
+@pytest.mark.parametrize('precision', ['x64', 'exact32'])
+def test_rank_fields_device_large_halo_classes(precision):
     """Capacity classes beyond the row-chunk threshold + singleton and
     empty-selection halos mixed in."""
     Mpart, h = 2.1e9, 0.6736
@@ -150,7 +157,7 @@ def test_rank_fields_device_large_halo_classes():
         r98_p[sl] = r98[j]
     dev = rank_fields_device(
         ppos, pvel, submask, seg, nsub_p, ps, pn,
-        hpos_p, hvel_p, mass_p, r25_p, r98_p, h,
+        hpos_p, hvel_p, mass_p, r25_p, r98_p, h, precision=precision,
     )
     for name, a, b in zip(
         ('ranks', 'ranksv', 'ranksp', 'ranksr'), host[:4], dev[:4]
@@ -182,7 +189,7 @@ def test_prepare_sim_ranks_engines_agree(tmp_path, testdata):
     assert tracer_flags['ELG'] or tracer_flags['QSO']  # MT filename below
 
     outs = {}
-    for engine in ('host', 'device'):
+    for engine in ('host', 'device', 'device-exact32'):
         savedir = tmp_path / engine
         savedir.mkdir()
         prepare_sim.prepare_slab(
@@ -207,15 +214,20 @@ def test_prepare_sim_ranks_engines_agree(tmp_path, testdata):
         with h5py.File(savedir / fn, 'r') as f:
             outs[engine] = f['particles'][:]
 
-    a, b = outs['host'], outs['device']
-    assert a.dtype == b.dtype and len(a) == len(b)
-    for name in a.dtype.names:
-        if name == 'ranksc':
-            # NN ties: per-halo rank multisets must match
-            for hid in np.unique(a['halo_id']):
-                m = a['halo_id'] == hid
+    a = outs['host']
+    for engine in ('device', 'device-exact32'):
+        b = outs[engine]
+        assert a.dtype == b.dtype and len(a) == len(b)
+        for name in a.dtype.names:
+            if name == 'ranksc':
+                # NN ties: per-halo rank multisets must match
+                for hid in np.unique(a['halo_id']):
+                    m = a['halo_id'] == hid
+                    npt.assert_array_equal(
+                        np.sort(b['ranksc'][m]), np.sort(a['ranksc'][m]),
+                        err_msg=f'{engine} ranksc halo {hid}',
+                    )
+            else:
                 npt.assert_array_equal(
-                    np.sort(b['ranksc'][m]), np.sort(a['ranksc'][m])
+                    b[name], a[name], err_msg=f'{engine} {name}'
                 )
-        else:
-            npt.assert_array_equal(b[name], a[name], err_msg=name)
