@@ -737,6 +737,7 @@ class AbacusHOD:
         reseed=None,
         compensated=True,
         mesh=None,
+        slab=None,
     ):
         """Populate + TSC paint + FFT + every tracer auto/cross P(k)
         monopole as ONE jitted device program — the fused counterpart of
@@ -762,11 +763,15 @@ class AbacusHOD:
         program sharded over its devices (parallel.mesh.
         hod_pk_fused_sharded: x-slab cell shards, int8 conformity
         all_gather, ICI grid psum) — bin-for-bin the same spectra and
-        galaxy counts, scaled across chips."""
+        galaxy counts, scaled across chips. ``slab`` (sharded runs only;
+        default auto: nmesh >= 512) keeps the grid itself sharded —
+        x-slab deposits with ppermute halo exchange, all-to-all transpose
+        FFT, ky-slab binning — at ~1/n_devices grid memory per chip."""
         import jax.numpy as jnp
 
         from ..pipeline import (
             group_inputs2d_linked_device,
+            group_inputs2d_linked_sharded,
             hod_pk_fused_multi,
             make_bin_plan_arrays,
         )
@@ -798,9 +803,11 @@ class AbacusHOD:
 
         # the staged column set depends on want_shear/want_ranks, so they
         # key the cache too (toggling them must restage, not silently
-        # reuse a stage without those columns)
+        # reuse a stage without those columns); sharded runs stage
+        # shard-locally over the mesh, so the mesh keys the cache as well
         stage_key = (
             int(nmesh), int(yb), bool(self.want_shear), bool(self.want_ranks),
+            mesh,
         )
         cached = getattr(self, '_fused_stage', None)
         if cached is not None and cached[0] == stage_key:
@@ -838,9 +845,16 @@ class AbacusHOD:
                     ('ranksp', 'pranksp'), ('ranksr', 'pranksr'),
                 ):
                     part[k] = np.asarray(pd[col], np.float32)
-            halo_g, part_g, plan_h, plan_p = group_inputs2d_linked_device(
-                halo, part, nmesh, lbox, yb=yb, chunk='auto'
-            )
+            if mesh is not None:
+                # shard-local staging: each chip buckets/sorts/pads only
+                # its own x-slab, so the staging HBM peak scales 1/n_dev
+                halo_g, part_g, plan_h, plan_p = group_inputs2d_linked_sharded(
+                    halo, part, nmesh, lbox, mesh, yb=yb, chunk='auto'
+                )
+            else:
+                halo_g, part_g, plan_h, plan_p = group_inputs2d_linked_device(
+                    halo, part, nmesh, lbox, yb=yb, chunk='auto'
+                )
             self._fused_stage = (stage_key, halo_g, part_g, plan_h, plan_p)
 
         K_h, K_p = plan_h.K, plan_p.K
@@ -863,6 +877,7 @@ class AbacusHOD:
                 float(self.params['velz2kms']), want, int(nmesh), int(yb),
                 int(nbins_k), K_h, K_p, rsd=bool(want_rsd),
                 chunk_h=deposit_chunk(K_h), chunk_p=deposit_chunk(K_p),
+                slab=slab,
             )
         else:
             spectra, ng = hod_pk_fused_multi(

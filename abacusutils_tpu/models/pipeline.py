@@ -463,6 +463,86 @@ def group_inputs2d_linked_device(halo, part, nmesh, lbox, yb=16, chunk=512):
     return halo_g, part_g, plan_h, plan_p
 
 
+def group_inputs2d_linked_sharded(
+    halo, part, nmesh, lbox, mesh, axis='data', yb=16, chunk=512,
+):
+    """Shard-local counterpart of :func:`group_inputs2d_linked_device`:
+    both catalogs are staged with parallel.mesh.stage_grouped2d_sharded —
+    each chip buckets, sorts, and pads only its own x-slab of cells, so
+    the staging sort and the padded layout's HBM peak scale ~1/n_devices
+    (the single-device stage was the fused sharded pipeline's memory
+    ceiling). The resulting global layout is IDENTICAL to the
+    single-device stage's (same cells, same in-cell order, same K).
+
+    The conformity link: the halo stage carries a global arange column;
+    one per-shard scatter + psum builds the replicated original-index ->
+    global-grouped-slot map (pad slots contribute 0, landing pad
+    particles on slot 0 like the single-device path), and the per-particle
+    host-halo slot is gathered once on host and staged as a float column.
+    Returns (halo_g, part_g, plan_h, plan_p) with sharded flat arrays."""
+    from functools import partial as _partial
+
+    import numpy as np
+    from jax.sharding import PartitionSpec as _P
+
+    from ..parallel.mesh import stage_grouped2d_sharded
+
+    ndev = mesh.shape[axis]
+    n_halo = int(np.asarray(halo['x']).shape[0])
+    if n_halo + 1 >= 1 << 24:
+        raise ValueError(
+            f'n_halo={n_halo} exceeds the f32-exact staging link range (2^24)'
+        )
+
+    def stage(cat, fills_over):
+        keys = list(cat)
+        fills = [
+            fills_over.get(k, 2.0 if k == 'randoms' else 0.0) for k in keys
+        ]
+        staged, K = stage_grouped2d_sharded(
+            mesh, [np.asarray(cat[k], np.float32) for k in keys],
+            nmesh, lbox, yb, fills, chunk=chunk,
+            xi=keys.index('x'), yi=keys.index('y'), shift=lbox / 2,
+            axis=axis,
+        )
+        return dict(zip(keys, staged)), K
+
+    halo = dict(halo)
+    halo['slot_src'] = np.arange(n_halo, dtype=np.float32)
+    halo_g, K_h = stage(halo, {'slot_src': float(n_halo)})
+    orig = halo_g.pop('slot_src')
+    M = orig.shape[0]
+    if M >= 1 << 24:
+        raise ValueError(
+            f'grouped halo layout size {M} exceeds the f32-exact link range'
+        )
+
+    @jax.jit
+    @_partial(
+        jax.shard_map, mesh=mesh, in_specs=_P(axis), out_specs=_P(),
+        check_vma=False,  # scatter init is unvarying
+    )
+    def build_flat_pos(orig_l):
+        base = jax.lax.axis_index(axis).astype(jnp.int32) * (M // ndev)
+        o = orig_l.astype(jnp.int32)
+        val = base + jnp.arange(M // ndev, dtype=jnp.int32)
+        # pad slots all collide at index n_halo: write 0 there so pad
+        # particles land on slot 0 (never read with nonzero weight)
+        val = jnp.where(o >= n_halo, 0, val)
+        fp = jnp.zeros(n_halo + 1, jnp.int32).at[o].set(val, mode='drop')
+        return jax.lax.psum(fp, axis)
+
+    flat_pos = np.asarray(build_flat_pos(orig))
+    part = dict(part)
+    hidx = np.asarray(part.pop('hidx'), np.int64)
+    part['hkeep_at'] = flat_pos[np.clip(hidx, 0, n_halo)].astype(np.float32)
+    part_g, K_p = stage(part, {'hkeep_at': 0.0})
+    part_g['hkeep_at'] = part_g['hkeep_at'].astype(jnp.int32)
+    plan_h = _DeviceStagePlan(int(nmesh), int(yb), float(lbox), 0.0, K_h)
+    plan_p = _DeviceStagePlan(int(nmesh), int(yb), float(lbox), 0.0, K_p)
+    return halo_g, part_g, plan_h, plan_p
+
+
 def _cent_codes(halo, params, want):
     """Central priority keep codes over stacked tracer markers (one random
     per halo, reference gen_cent GRAND_HOD.py:213-252)."""

@@ -577,7 +577,8 @@ def paint_grouped_yb_multiw(gridps, xg, yg, zg, wgs, box, offset, nmesh, B,
     return jax.lax.fori_loop(0, ncell, cell_body, gridps)
 
 
-def paint_grouped_yb_multi(gridp, groups, box, offset, nmesh, B, cell0=0):
+def paint_grouped_yb_multi(gridp, groups, box, offset, nmesh, B, cell0=0,
+                           slab_x0=None):
     """paint_grouped_yb over SEVERAL grouped catalogs sharing one grid.
 
     `groups` is a list of (xg, yg, zg, wg, K, chunk) tuples, each in the
@@ -594,7 +595,14 @@ def paint_grouped_yb_multi(gridp, groups, box, offset, nmesh, B, cell0=0):
     global cell id of row 0: group arrays then hold a contiguous slab
     [cell0, cell0 + ncell) of the full (x-cell, y-block) layout, for
     sharded paints where each chip deposits its slab into a local grid.
-    Must be a multiple of nmesh//B (x-cell aligned)."""
+    Must be a multiple of nmesh//B (x-cell aligned).
+
+    `slab_x0` (traced OK) switches the x extent to a SLAB accumulator:
+    gridp must then be (xl + 2, nmesh + 2, nmesh) where local plane r
+    holds global x plane slab_x0 + r - 1 — the TSC cloud of slab cells
+    [slab_x0, slab_x0 + xl) reaches exactly one plane past each side, and
+    the caller exchanges/folds the two halo planes (parallel.fft
+    paint_slab pattern) instead of psum-ing a full replicated grid."""
     nyb = nmesh // B
     ncell = int(groups[0][0].shape[0])
 
@@ -669,7 +677,12 @@ def paint_grouped_yb_multi(gridp, groups, box, offset, nmesh, B, cell0=0):
         y0_i = jnp.asarray(y0, jnp.int32)
         z0_i = jnp.zeros((), jnp.int32)
         for o in range(3):
-            plane = jnp.asarray(jnp.mod(cx + o - 1, nmesh), jnp.int32)
+            if slab_x0 is None:
+                plane = jnp.asarray(jnp.mod(cx + o - 1, nmesh), jnp.int32)
+            else:
+                # slab accumulator: plane r = global x - slab_x0 + 1, in
+                # [0, xl + 1] for slab cells (no wrap; halos fold later)
+                plane = jnp.asarray(cx - slab_x0 + o, jnp.int32)
             row = jax.lax.dynamic_slice(
                 gridp, (plane, y0_i, z0_i), (1, B + 2, nmesh)
             )

@@ -23,6 +23,7 @@ __all__ = [
     'sharded_hod_pk',
     'hod_pk_fused_sharded',
     'shard_particles',
+    'stage_grouped2d_sharded',
     'calc_power_sharded',
     'pair_counts_rppi_sharded',
     'pair_counts_smu_sharded',
@@ -51,6 +52,134 @@ def shard_particles(mesh, arrays, axis='data'):
         k: _put(np.asarray(v), 2.0 if k == 'randoms' else 0.0)
         for k, v in arrays.items()
     }
+
+
+def _host_cells_x(x, nmesh, box, shift=0.0, offset=0.0):
+    """Host numpy mirror of ops.grid.cell_key_2d's per-axis cell formula
+    (same f32 op order), so host stripe bucketing agrees bit-for-bit with
+    the device staging key's x component."""
+    x = np.asarray(x, np.float32) + np.float32(shift)
+    boxf = np.float32(box)
+    x = np.where(x >= boxf, x - boxf, x)
+    x = np.where(x < 0, x + boxf, x)
+    q = (x + np.float32(offset)) * (np.float32(nmesh) / boxf)
+    return np.floor(q + np.float32(0.5)).astype(np.int32) % nmesh
+
+
+@lru_cache(maxsize=32)
+def _stage_sharded_progs(mesh, axis, ncols, nmesh, yb, box, offset, xi, yi,
+                         shift):
+    """Cached shard_map programs for stage_grouped2d_sharded: per-shard
+    sort+starts (phase 1) and padded expand (phase 2, parameterized by the
+    occupancy-derived static K)."""
+    from functools import lru_cache as _lru
+
+    from ..ops.grid import _stage_expand_padded, cell_key_2d
+
+    ndev = mesh.shape[axis]
+    nyb = nmesh // yb
+    ncell = nmesh * nyb
+    ncell_l = ncell // ndev
+    cspec = (P(axis),) * ncols
+
+    @jax.jit
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=(cspec, P(axis)),
+        out_specs=(cspec, P(axis)),
+        check_vma=False,  # expand-scan carry inits are unvarying
+    )
+    def phase1(cols_l, cnt_l):
+        valid = jnp.arange(cols_l[0].shape[0]) < cnt_l[0]
+        key = cell_key_2d(
+            cols_l[xi], cols_l[yi], nmesh, yb, box, offset, shift
+        )
+        # pad rows sort past every local cell (excluded from all runs)
+        key = jnp.where(valid, key, jnp.int32(ncell))
+        sorted_ops = jax.lax.sort((key,) + tuple(cols_l), num_keys=1)
+        skey = sorted_ops[0]
+        cell0 = jax.lax.axis_index(axis).astype(skey.dtype) * ncell_l
+        starts = jnp.searchsorted(
+            skey, cell0 + jnp.arange(ncell_l + 1, dtype=skey.dtype)
+        )
+        return sorted_ops[1:], starts.astype(jnp.int32)
+
+    @_lru(maxsize=8)
+    def phase2_for(fills, K):
+        @jax.jit
+        @partial(
+            jax.shard_map, mesh=mesh, in_specs=(cspec, P(axis)),
+            out_specs=cspec,
+            check_vma=False,  # expand-scan carry inits are unvarying
+        )
+        def phase2(sorted_l, starts_l):
+            return _stage_expand_padded(sorted_l, starts_l, fills, K, ncell_l)
+
+        return phase2
+
+    return phase1, phase2_for
+
+
+def stage_grouped2d_sharded(
+    mesh, cols, nmesh, box, yb, fills, offset=0.0, chunk=2048,
+    xi=0, yi=1, shift=0.0, axis='data',
+):
+    """Shard-LOCAL counterpart of ops.grid.stage_grouped2d: each chip
+    stages only its own x-slab of cells, so neither the staging sort nor
+    the padded (ncell, K) layout's HBM peak ever lives on one device.
+
+    Host side does one cheap pass: bucket rows by x-stripe (the stripe
+    formula mirrors the device staging key bit-for-bit, so every point
+    lands on the chip that owns its cell), pad buckets to a common length,
+    and device_put each column sharded. On device, phase 1 sorts each
+    shard's rows by the global (x-cell, y-block) key (stable, like the
+    single-device stage — host bucketing is order-preserving, so cell
+    contents and their order are IDENTICAL to the global sort's) and
+    phase 2 expands into the per-shard (ncell_l, K) padded layout; the
+    only host sync is the ~ncell-int occupancy download that sizes the
+    static capacity K (a global max, so every shard shares one layout).
+
+    Returns (list of (ncell*K,) sharded device arrays, K) — the same
+    logical layout stage_grouped2d produces, sharded over `axis`."""
+    from ..ops.grid import deposit_tiles
+
+    ndev = mesh.shape[axis]
+    nyb = nmesh // yb
+    ncell = nmesh * nyb
+    if nmesh % ndev:
+        raise ValueError(f'nmesh={nmesh} must divide by n_devices={ndev}')
+    xl = nmesh // ndev
+
+    stripe = _host_cells_x(cols[xi], nmesh, box, shift, offset) // xl
+    order = np.argsort(stripe, kind='stable')
+    cnts = np.bincount(stripe, minlength=ndev)
+    maxc = max(int(cnts.max()), 1)
+    sharding = NamedSharding(mesh, P(axis))
+    starts_h = np.concatenate([[0], np.cumsum(cnts)])
+    bufs = []
+    for j, c in enumerate(cols):
+        c = np.asarray(c, np.float32)
+        buf = np.full(ndev * maxc, np.float32(fills[j]), np.float32)
+        for d in range(ndev):
+            seg = order[starts_h[d] : starts_h[d + 1]]
+            buf[d * maxc : d * maxc + len(seg)] = c[seg]
+        bufs.append(jax.device_put(buf, sharding))
+    cnts_d = jax.device_put(cnts.astype(np.int32), sharding)
+
+    phase1, phase2_for = _stage_sharded_progs(
+        mesh, axis, len(cols), int(nmesh), int(yb), float(box),
+        float(offset), int(xi), int(yi), float(shift),
+    )
+    sorted_cols, starts = phase1(tuple(bufs), cnts_d)
+    occ = np.asarray(starts).reshape(ndev, -1)
+    occ = (occ[:, 1:] - occ[:, :-1]).max()  # global max -> one shared K
+    if chunk == 'auto':
+        K, _ = deposit_tiles(int(occ))
+    else:
+        K = int(np.ceil(max(int(occ), 1) / chunk) * chunk)
+    out = phase2_for(tuple(float(f) for f in fills), int(K))(
+        sorted_cols, starts
+    )
+    return list(out), K
 
 
 def sharded_hod_pk(
@@ -113,7 +242,7 @@ def sharded_hod_pk(
 def hod_pk_fused_sharded(
     mesh, halo_g, part_g, params, binplan, Wcomp, lbox, velz2kms,
     want, nmesh, B, nbins_k, K_h, K_p, rsd=True, chunk_h=8192, chunk_p=8192,
-    axis='data',
+    axis='data', slab=None,
 ):
     """The flagship multi-tracer fused pipeline (models.pipeline.
     hod_pk_fused_multi: priority-stacked populate with ELG conformity,
@@ -134,27 +263,46 @@ def hod_pk_fused_sharded(
     - a psum of each tracer's grid deposit over ICI (TSC clouds of
       slab-edge cells straddle the shard boundary).
 
-    n_gal psums ride the same reductions. The FFT + one-hot mode binning
-    run replicated on the reduced grid (cheap vs the deposit; the slab-FFT
-    route in parallel.fft covers the nmesh >= 512 regime). Returns
-    ({(t1, t2): wsum}, {tracer: n_gal}) exactly like hod_pk_fused_multi —
-    bin-for-bin equal to the single-device program up to f32 summation
-    order at shard boundaries."""
-    from ..models.pipeline import _cent_codes, _sat_codes, _tracer_zw
-    from ..ops.grid import fold_ypad, paint_grouped_yb_multi
-    from ..ops.power import _segsum_matmul
+    n_gal psums ride the same reductions.
 
-    if nmesh % mesh.shape[axis]:
+    `slab=False` (default for nmesh < 512): the FFT + one-hot mode binning
+    run replicated on the psum-reduced grid (cheap vs the deposit at small
+    meshes). `slab=True`: the grid stays SHARDED end to end — each chip
+    deposits only its (xl + 2, ., .) x-slab accumulator (slab_x0 plane
+    addressing in paint_grouped_yb_multi), the two TSC halo planes ride
+    ICI ppermutes, the FFT is the all-to-all transpose slab_rfftn, and
+    each chip bins its own ky rows (parallel.fft._SlabBins) with a final
+    bin psum — per-chip grid memory ~1/n_devices, composing the two
+    flagship multi-chip capabilities for zcv-scale multi-tracer meshes.
+
+    Returns ({(t1, t2): wsum}, {tracer: n_gal}) exactly like
+    hod_pk_fused_multi — bin-for-bin equal to the single-device program up
+    to f32 summation order at shard boundaries (and FFT rounding when
+    slab)."""
+    ndev = mesh.shape[axis]
+    if nmesh % ndev:
         raise ValueError(
-            f'nmesh={nmesh} must be divisible by the {mesh.shape[axis]}-device '
+            f'nmesh={nmesh} must be divisible by the {ndev}-device '
             'mesh so shards hold whole x-slabs of cells'
         )
+    if slab is None:
+        slab = nmesh >= 512
+    if slab and nmesh < 2 * ndev:
+        raise ValueError(
+            f'slab x-slabs need >= 2 planes per device (nmesh={nmesh}, '
+            f'n_devices={ndev}) for the TSC halo exchange'
+        )
+    if slab:
+        # per-device ky-slab bin plans replace the global (seg,) plan
+        binplan = _fused_slab_bins(
+            mesh, axis, int(nmesh), float(lbox), int(nbins_k)
+        ).binargs
     step = _fused_sharded_step(
         mesh, axis, tuple(sorted(halo_g)), tuple(sorted(part_g)),
         jax.tree.structure(params), jax.tree.structure(binplan),
         Wcomp is not None, tuple(want), int(nmesh), int(B), int(nbins_k),
         int(K_h), int(K_p), bool(rsd), int(chunk_h), int(chunk_p),
-        float(lbox), float(velz2kms),
+        float(lbox), float(velz2kms), bool(slab),
     )
     args = (halo_g, part_g, params, binplan)
     if Wcomp is not None:
@@ -162,11 +310,28 @@ def hod_pk_fused_sharded(
     return step(*args)
 
 
+@lru_cache(maxsize=16)
+def _fused_slab_bins(mesh, axis, nmesh, lbox, nbins_k):
+    """Cached per-device ky-slab monopole bin plans for the fused slab
+    pipeline (same k edges as models.pipeline.make_bin_plan_arrays)."""
+    from ..ops.power import get_k_mu_edges
+    from .fft import _SlabBins
+
+    kedges, muedges = get_k_mu_edges(
+        lbox, np.pi * nmesh / lbox, nbins_k, 1, False
+    )
+    dk = 2 * np.pi / lbox
+    return _SlabBins(
+        nmesh, ((kedges / dk) ** 2).astype(np.float32),
+        (muedges**2).astype(np.float32), (), mesh, axis,
+    )
+
+
 @lru_cache(maxsize=32)
 def _fused_sharded_step(
     mesh, axis, halo_keys, part_keys, params_treedef, bin_treedef,
     has_comp, want, nmesh, B, nbins_k, K_h, K_p, rsd, chunk_h, chunk_p,
-    lbox, velz2kms,
+    lbox, velz2kms, slab=False,
 ):
     """Build (once per static configuration) the jitted shard_map program
     behind hod_pk_fused_sharded — memoized so repeated calls with new
@@ -180,6 +345,10 @@ def _fused_sharded_step(
     nyb = nmesh // B
     ncell = nmesh * nyb
     ncell_l = ncell // ndev
+    xl = nmesh // ndev
+    bins = (
+        _fused_slab_bins(mesh, axis, nmesh, lbox, nbins_k) if slab else None
+    )
     pairs = tuple((t1, t2) for i, t1 in enumerate(want) for t2 in want[i:])
 
     halo_spec = {k: P(axis) for k in halo_keys}
@@ -187,8 +356,9 @@ def _fused_sharded_step(
     params_spec = jax.tree.unflatten(
         params_treedef, [P()] * params_treedef.num_leaves
     )
+    # slab binplans are per-device ky-slab stacks, sharded over the mesh
     bin_spec = jax.tree.unflatten(
-        bin_treedef, [P()] * bin_treedef.num_leaves
+        bin_treedef, [P(axis) if slab else P()] * bin_treedef.num_leaves
     )
     in_specs = (halo_spec, part_spec, params_spec, bin_spec)
     if has_comp:
@@ -219,12 +389,16 @@ def _fused_sharded_step(
         )
 
         half_l = jnp.float32(lbox) / 2
-        (seg,) = binplan_l
+        gsize = jnp.float32(float(nmesh) ** 3)
+        x0 = jax.lax.axis_index(axis) * xl
+        yl = nmesh // ndev
         deltas, n_gal = {}, {}
         for tracer in want:
             z_c, w_c, z_s, w_s = tr[tracer]
             ng = jax.lax.psum(w_c.sum() + w_s.sum(), axis)
-            gridp = jnp.zeros((nmesh, nmesh + 2, nmesh), jnp.float32)
+            gridp = jnp.zeros(
+                ((xl + 2) if slab else nmesh, nmesh + 2, nmesh), jnp.float32
+            )
             gridp = paint_grouped_yb_multi(
                 gridp,
                 [
@@ -244,27 +418,59 @@ def _fused_sharded_step(
                     ),
                 ],
                 lbox, 0.0, nmesh, B, cell0=cell0,
+                slab_x0=(x0 if slab else None),
             )
-            # the one bulk cross-chip dependency: grid deposits ride ICI
-            grid = jax.lax.psum(fold_ypad(gridp, nmesh), axis)
-            delta = grid * (grid.size / ng) - 1.0
-            delta_k = jnp.fft.rfftn(delta) * jnp.float32(1.0 / grid.size)
-            if Wc is not None:
-                delta_k = delta_k / (
-                    Wc[:, None, None]
-                    * Wc[None, :, None]
-                    * Wc[None, None, : nmesh // 2 + 1]
-                )
+            if slab:
+                # grid stays sharded: the two TSC halo planes ride ICI ring
+                # ppermutes (parallel.fft.paint_slab pattern), the FFT is
+                # the all-to-all transpose slab_rfftn -> ky-sharded modes
+                from .fft import slab_rfftn
+
+                g = fold_ypad(gridp, nmesh)  # (xl+2, nmesh, nmesh)
+                fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+                bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+                from_prev = jax.lax.ppermute(g[xl + 1 : xl + 2], axis, fwd)
+                from_next = jax.lax.ppermute(g[0:1], axis, bwd)
+                core = g[1 : xl + 1]
+                core = core.at[0:1].add(from_prev)
+                core = core.at[xl - 1 : xl].add(from_next)
+                delta = core * (gsize / ng) - 1.0
+                delta_k = slab_rfftn(delta, axis) * (1.0 / gsize)
+                if Wc is not None:
+                    Wy = jax.lax.dynamic_slice(
+                        Wc, (jax.lax.axis_index(axis) * yl,), (yl,)
+                    )
+                    delta_k = delta_k / (
+                        Wc[:, None, None]
+                        * Wy[None, :, None]
+                        * Wc[None, None, : nmesh // 2 + 1]
+                    )
+            else:
+                # the one bulk cross-chip dependency: deposits ride ICI
+                grid = jax.lax.psum(fold_ypad(gridp, nmesh), axis)
+                delta = grid * (gsize / ng) - 1.0
+                delta_k = jnp.fft.rfftn(delta) * (1.0 / gsize)
+                if Wc is not None:
+                    delta_k = delta_k / (
+                        Wc[:, None, None]
+                        * Wc[None, :, None]
+                        * Wc[None, None, : nmesh // 2 + 1]
+                    )
             deltas[tracer] = delta_k
             n_gal[tracer] = ng
 
         spectra = {}
         for t1, t2 in pairs:
             p3d = (deltas[t1] * jnp.conj(deltas[t2])).real
-            spectra[(t1, t2)] = _segsum_matmul(
-                p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1,
-                even=(nmesh % 2 == 0),
-            )
+            if slab:
+                wsum, _ = bins.bin_local(p3d, binplan_l, axis)
+                spectra[(t1, t2)] = wsum
+            else:
+                (seg,) = binplan_l
+                spectra[(t1, t2)] = _segsum_matmul(
+                    p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1,
+                    even=(nmesh % 2 == 0),
+                )
         return spectra, n_gal
 
     return step

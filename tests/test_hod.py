@@ -160,13 +160,26 @@ def test_run_hod_pk_fused_sharded_equality(prepared):
     shard, n_gal_s = ball.run_hod_pk_fused(
         nmesh=nmesh, nbins_k=nbins_k, mesh=mesh
     )
+    # the grid-sharded composition (x-slab deposit + ppermute halo
+    # exchange + all-to-all transpose FFT + ky-slab binning): same mesh,
+    # ~1/n_devices grid memory, equal up to FFT rounding. Shares the
+    # shard-local stage with the replicated-grid run (cache hit).
+    slab, n_gal_sl = ball.run_hod_pk_fused(
+        nmesh=nmesh, nbins_k=nbins_k, mesh=mesh, slab=True
+    )
     for tracer, n in n_gal.items():
         assert n_gal_s[tracer] == n, tracer
+        assert n_gal_sl[tracer] == n, tracer
     for pair in ('LRG_LRG', 'LRG_ELG', 'ELG_LRG', 'ELG_ELG'):
         a = np.asarray(fused[pair]).ravel()
         b = np.asarray(shard[pair]).ravel()
+        c = np.asarray(slab[pair]).ravel()
         np.testing.assert_allclose(
             b, a, rtol=1e-4, atol=1e-6 * np.abs(a).max(), err_msg=pair
+        )
+        np.testing.assert_allclose(
+            c, a, rtol=1e-4, atol=1e-5 * np.abs(a).max(),
+            err_msg=f'{pair} (slab)',
         )
         np.testing.assert_array_equal(
             np.asarray(shard[pair + '_modes']), np.asarray(fused[pair + '_modes'])

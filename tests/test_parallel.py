@@ -380,3 +380,112 @@ def test_pair_counts_smu_sharded_matches_single():
     dd_s = pair_counts_smu_sharded(pos, sbins, 10, lbox, mesh=make_mesh())
     dd = pair_counts_smu(pos, sbins, 10, lbox, method='tile')
     npt.assert_array_equal(dd_s, dd)
+
+
+def test_stage_grouped2d_sharded_matches_device():
+    """Shard-local staging (each chip buckets/sorts/pads only its own
+    x-slab of cells) produces BIT-IDENTICAL grouped layouts — same K, same
+    cell contents, same in-cell order, same conformity link — as the
+    single-device stage (VERDICT r4 item 2). Odd counts exercise bucket
+    padding."""
+    from abacusutils_tpu.models.pipeline import (
+        group_inputs2d_linked_device,
+        group_inputs2d_linked_sharded,
+        make_example_inputs,
+    )
+
+    lbox, nmesh = 100.0, 16
+    mesh = make_mesh()
+    halo, part, _ = make_example_inputs(n_halo=777, n_part=5111, lbox=lbox)
+    rng = np.random.default_rng(5)
+    part['hidx'] = rng.integers(0, 777, 5111)
+
+    hg1, pg1, ph1, pp1 = group_inputs2d_linked_device(
+        dict(halo), dict(part), nmesh, lbox, yb=8, chunk=64
+    )
+    hg2, pg2, ph2, pp2 = group_inputs2d_linked_sharded(
+        dict(halo), dict(part), nmesh, lbox, mesh, yb=8, chunk=64
+    )
+    assert ph1.K == ph2.K and pp1.K == pp2.K
+    for k in hg1:
+        npt.assert_array_equal(
+            np.asarray(hg2[k]), np.asarray(hg1[k]), err_msg=f'halo {k}'
+        )
+    for k in pg1:
+        npt.assert_array_equal(
+            np.asarray(pg2[k]), np.asarray(pg1[k]), err_msg=f'part {k}'
+        )
+
+
+def test_fused_sharded_slab_memory_scales():
+    """The slab fused pipeline (x-slab deposit + ppermute halo exchange +
+    transpose FFT + ky-slab binning) must actually shard the grid: its
+    per-device compiled temp footprint at nmesh=128 on the 8-device mesh
+    must be a small fraction of the replicated-grid fused step's
+    (VERDICT r4 item 3)."""
+    import jax.numpy as jnp
+
+    from abacusutils_tpu.models.hod.population import prepare_tracer_params
+    from abacusutils_tpu.models.pipeline import (
+        group_inputs2d_linked,
+        make_bin_plan_arrays,
+    )
+    from abacusutils_tpu.ops.grid import default_yblock
+    from abacusutils_tpu.parallel.mesh import (
+        _fused_slab_bins,
+        _fused_sharded_step,
+    )
+
+    lbox, nmesh, velz2kms = 500.0, 128, 100.0
+    nbins_k = 32
+    mesh = make_mesh()
+    rng = np.random.default_rng(7)
+    halo, part = {}, {}
+    nh, npart = 2048, 8192
+    for d, n in ((halo, nh), (part, npart)):
+        for c in ('x', 'y', 'z'):
+            d[c] = (rng.random(n) * lbox - lbox / 2).astype(np.float32)
+        d['vz'] = rng.normal(0, 100, n).astype(np.float32)
+        d['randoms'] = rng.random(n).astype(np.float32)
+        d['deltac'] = np.zeros(n, np.float32)
+        d['fenv'] = np.zeros(n, np.float32)
+    halo['mass'] = 10 ** rng.uniform(12, 14, nh).astype(np.float32)
+    halo['multis'] = np.ones(nh, np.float32)
+    halo['vdevz'] = rng.normal(0, 50, nh).astype(np.float32)
+    part['hvelz'] = rng.normal(0, 100, npart).astype(np.float32)
+    part['hmass'] = 10 ** rng.uniform(12, 14, npart).astype(np.float32)
+    part['weights'] = np.ones(npart, np.float32)
+    part['hidx'] = rng.integers(0, nh, npart)
+
+    tracer_cfg = {
+        'LRG': {
+            'logM_cut': 12.6, 'logM1': 13.8, 'sigma': 0.3, 'alpha': 1.0,
+            'kappa': 0.4, 'alpha_c': 0.3, 'alpha_s': 1.0, 'ic': 0.95,
+        },
+    }
+    params = prepare_tracer_params(tracer_cfg, 0.5)
+    want = tuple(params)
+    B = default_yblock(nmesh)
+    halo_g, part_g, plan_h, plan_p = group_inputs2d_linked(
+        halo, part, nmesh, lbox, yb=B, chunk=64
+    )
+    binplan, _ = make_bin_plan_arrays(nmesh, lbox, nbins_k)
+
+    def temp_bytes(slab):
+        bp = (
+            _fused_slab_bins(mesh, 'data', nmesh, lbox, nbins_k).binargs
+            if slab else binplan
+        )
+        step = _fused_sharded_step(
+            mesh, 'data', tuple(sorted(halo_g)), tuple(sorted(part_g)),
+            jax.tree.structure(params), jax.tree.structure(bp),
+            False, want, nmesh, B, nbins_k, plan_h.K, plan_p.K,
+            True, plan_h.K, plan_p.K, lbox, velz2kms, slab,
+        )
+        compiled = step.lower(halo_g, part_g, params, bp).compile()
+        return compiled.memory_analysis().temp_size_in_bytes
+
+    t_slab = temp_bytes(True)
+    t_repl = temp_bytes(False)
+    # grid + FFT temps dominate at this mesh; slab keeps ~1/8 of them
+    assert t_slab <= t_repl / 3, (t_slab, t_repl)
