@@ -50,7 +50,10 @@ Precision modes (the `precision` argument):
 - 'exact32' — f32-only device path: f64 keys sort as exact (hi, lo, lo2)
   f32 triples and the NN pair kernel runs in double-float32. Rank order
   matches the host loop except for key pairs closer than ~2^-46 relative
-  (physically degenerate; zero observed on the measured 1.2M slab,
+  (physically degenerate; MEASURED on a real v5e at 1.2M particles /
+  11.3k halos: zero real NN flips and zero key flips — every raw
+  mismatch is a tied-key permutation under numpy's unstable argsort;
+  device warm 5.8 s vs 7.8 s host loop on this box's single weak core,
   scripts/hod/bench_ranks.py). Designed for TPU, runs anywhere.
 - 'auto' — 'x64' on f64-capable backends, 'exact32' otherwise. With this,
   prepare_slab's ranks_engine='auto' selects the device engine on every

@@ -127,6 +127,22 @@ def run(n_target=1_200_000, host=True, verbose=True):
             for d, hh in zip(dev, hostr)
         ]
         out['mismatch_frac'] = round(max(mism[:4]) / int(sel.sum()), 6)
+        # the four host-key fields share the exact key arrays with the
+        # host loop, so any rank mismatch can only be a tied-key
+        # permutation (numpy's unstable argsort): assert per-halo rank
+        # MULTISETS match and report real flips (should be 0)
+        key_flips = 0
+        for f in range(4):
+            if not mism[f]:
+                continue
+            for j in range(n_halo):
+                sl = slice(ps[j], ps[j] + pn[j])
+                m = submask[sl]
+                if not np.array_equal(
+                    np.sort(dev[f][sl][m]), np.sort(hostr[f][sl][m])
+                ):
+                    key_flips += 1
+        out['key_flips'] = key_flips
         flips_c = 0
         if mism[4]:
             from scipy.spatial import cKDTree
