@@ -782,10 +782,17 @@ class AbacusHOD:
         if tracers is None:
             tracers = self.tracers
         if self.halo_lc:
-            raise NotImplementedError(
-                'fused P(k) supports periodic boxes only (light-cone RSD '
-                'projects along per-galaxy lines of sight); use run_hod + '
-                'compute_power'
+            # light-cone RSD displaces galaxies along per-galaxy lines of
+            # sight (all three coordinates), so the deposit grouping must
+            # happen AFTER population: populate on flat arrays, re-stage
+            # the displaced galaxies on device, then paint+FFT+bin
+            if mesh is not None:
+                raise NotImplementedError(
+                    'fused light-cone P(k) is single-device (the LC '
+                    'fixture workloads are small); drop mesh='
+                )
+            return self._run_hod_pk_fused_lc(
+                tracers, want_rsd, nmesh, nbins_k, yb, reseed, compensated
             )
         if self.z_type == 'secondary':
             raise RuntimeError(
@@ -902,6 +909,139 @@ class AbacusHOD:
                 clustering[f'{t2}_{t1}'] = P
                 clustering[f'{t2}_{t1}_modes'] = counts
         n_gal = {t: float(ng[t]) for t in want}
+        return clustering, n_gal
+
+    def _run_hod_pk_fused_lc(
+        self, tracers, want_rsd, nmesh, nbins_k, yb, reseed, compensated,
+    ):
+        """Light-cone leg of run_hod_pk_fused: populate on FLAT staged
+        arrays (models.pipeline.populate_lc_multi — per-galaxy LOS RSD
+        from the light-cone origin, same keep kernels as run_hod), then
+        re-stage each tracer's displaced galaxies on device
+        (stage_grouped2d, ~0.03 s/1e6) and run the grouped paint + FFT +
+        all-pair binning as one jitted program (pk_grouped_multi). The
+        galaxies never exist on host."""
+        import jax.numpy as jnp
+
+        from ..pipeline import (
+            make_bin_plan_arrays,
+            pk_grouped_multi,
+            populate_lc_multi,
+        )
+        from ...ops.grid import default_yblock, deposit_chunk, stage_grouped2d
+        from ...ops.power import get_W_compensated, get_k_mu_edges
+        from .population import TRACER_ORDER, prepare_tracer_params
+
+        if reseed:
+            self._reseed_randoms(reseed)
+        lbox = float(self.lbox)
+        if yb is None:
+            yb = default_yblock(nmesh)
+        if nbins_k is None:
+            nbins_k = nmesh // 2
+
+        stage_key = (bool(self.want_shear), bool(self.want_ranks))
+        cached = getattr(self, '_fused_lc_stage', None)
+        if cached is not None and cached[0] == stage_key:
+            _, halo, part = cached
+        else:
+            hd, pd = self.halo_data, self.particle_data
+            zeros_h = np.zeros(len(hd['hmass']), np.float32)
+            zeros_p = np.zeros(len(pd['phmass']), np.float32)
+
+            def dev(a):
+                return jnp.asarray(np.asarray(a, np.float32))
+
+            halo = {
+                'x': dev(hd['hpos'][:, 0]), 'y': dev(hd['hpos'][:, 1]),
+                'z': dev(hd['hpos'][:, 2]),
+                'vx': dev(hd['hvel'][:, 0]), 'vy': dev(hd['hvel'][:, 1]),
+                'vz': dev(hd['hvel'][:, 2]),
+                'vdevx': dev(hd['hveldev'][:, 0]),
+                'vdevy': dev(hd['hveldev'][:, 1]),
+                'vdevz': dev(hd['hveldev'][:, 2]),
+                'mass': dev(hd['hmass']), 'multis': dev(hd['hmultis']),
+                'randoms': dev(hd['hrandoms']),
+                'deltac': dev(hd.get('hdeltac', zeros_h)),
+                'fenv': dev(hd.get('hfenv', zeros_h)),
+            }
+            part = {
+                'x': dev(pd['ppos'][:, 0]), 'y': dev(pd['ppos'][:, 1]),
+                'z': dev(pd['ppos'][:, 2]),
+                'vx': dev(pd['pvel'][:, 0]), 'vy': dev(pd['pvel'][:, 1]),
+                'vz': dev(pd['pvel'][:, 2]),
+                'hvelx': dev(pd['phvel'][:, 0]),
+                'hvely': dev(pd['phvel'][:, 1]),
+                'hvelz': dev(pd['phvel'][:, 2]),
+                'hmass': dev(pd['phmass']), 'weights': dev(pd['pweights']),
+                'randoms': dev(pd['prandoms']),
+                'deltac': dev(pd.get('pdeltac', zeros_p)),
+                'fenv': dev(pd.get('pfenv', zeros_p)),
+                'hidx': jnp.asarray(np.asarray(pd['pinds'], np.int32)),
+            }
+            if self.want_shear:
+                halo['shear'] = dev(hd['hshear'])
+                part['shear'] = dev(pd['pshear'])
+            if self.want_ranks:
+                for k, col in (
+                    ('ranks', 'pranks'), ('ranksv', 'pranksv'),
+                    ('ranksp', 'pranksp'), ('ranksr', 'pranksr'),
+                ):
+                    part[k] = dev(pd[col])
+            self._fused_lc_stage = (stage_key, halo, part)
+
+        want = tuple(t for t in TRACER_ORDER if t in tracers)
+        tp = prepare_tracer_params(
+            {t: tracers[t] for t in want}, self.params['z']
+        )
+        tr, ng_dev = populate_lc_multi(
+            halo, part, tp, want, bool(want_rsd),
+            1.0 / float(self.params['velz2kms']),
+            jnp.asarray(np.asarray(self.params['origin'], np.float32)),
+        )
+
+        # per-tracer device re-stage of the displaced galaxies (shift=0:
+        # paint raw coordinates like compute_power's get_field)
+        groups, Ks, chunks = {}, [], []
+        for tracer in want:
+            xc, yc, zc, wc, xs, ys, zs, ws = tr[tracer]
+            cols = [
+                jnp.concatenate([xc, xs]), jnp.concatenate([yc, ys]),
+                jnp.concatenate([zc, zs]), jnp.concatenate([wc, ws]),
+            ]
+            staged, K = stage_grouped2d(
+                cols, nmesh, lbox, yb, fills=(0.0, 0.0, 0.0, 0.0),
+                chunk='auto', shift=0.0,
+            )
+            groups[tracer] = tuple(staged)
+            Ks.append(int(K))
+            chunks.append(deposit_chunk(int(K)))
+
+        binplan, counts = make_bin_plan_arrays(nmesh, lbox, nbins_k)
+        Wcomp = (
+            jnp.asarray(
+                get_W_compensated(lbox, nmesh, 'TSC', False).astype(np.float32)
+            )
+            if compensated else None
+        )
+        spectra, ng_out = pk_grouped_multi(
+            groups, ng_dev, binplan, Wcomp, lbox, int(nmesh), int(yb),
+            int(nbins_k), tuple(Ks), tuple(chunks), want,
+        )
+
+        kedges, _ = get_k_mu_edges(
+            lbox, np.pi * nmesh / lbox, nbins_k, 1, False
+        )
+        clustering = {'k_binc': 0.5 * (kedges[1:] + kedges[:-1])}
+        nonzero = counts != 0
+        for (t1, t2), wsum in spectra.items():
+            P = np.where(nonzero, np.asarray(wsum) / counts, 0.0) * lbox**3
+            clustering[f'{t1}_{t2}'] = P
+            clustering[f'{t1}_{t2}_modes'] = counts
+            if t1 != t2:
+                clustering[f'{t2}_{t1}'] = P
+                clustering[f'{t2}_{t1}_modes'] = counts
+        n_gal = {t: float(np.asarray(ng_out[t])) for t in want}
         return clustering, n_gal
 
     def apply_zcv(self, mock_dict, config, load_presaved=False):

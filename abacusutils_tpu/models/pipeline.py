@@ -703,6 +703,108 @@ def hod_pk_fused_multi(
     return spectra, n_gal
 
 
+@partial(jax.jit, static_argnames=('want', 'rsd'))
+def populate_lc_multi(halo, part, params, want, rsd, inv_velz2kms, origin):
+    """Light-cone multi-tracer populate pass on FLAT SoA catalogs: priority
+    keep codes (same stacked-marker kernels as populate_weights_multi) and
+    per-galaxy line-of-sight RSD displacement from `origin` (reference
+    GRAND_HOD.py's halo_lc branch; the displacement moves galaxies in all
+    three coordinates, so deposit grouping must happen AFTER population —
+    run_hod_pk_fused's LC route re-stages the populated galaxies).
+
+    halo: x/y/z, vx/vy/vz, vdevx/vdevy/vdevz, mass, multis, randoms,
+    deltac, fenv (+shear); part: x/y/z, vx/vy/vz, hvelx/hvely/hvelz,
+    hmass, weights, randoms, deltac, fenv, hidx (+shear, +rank columns).
+    Returns ({tracer: (xc, yc, zc, wc, xs, ys, zs, ws)}, per-tracer n_gal
+    scalars)."""
+    from ..models.hod.population import TRACER_ORDER, _apply_rsd
+
+    keep_c = _cent_codes(halo, params, want)
+    keep_cent_p = keep_c[part['hidx']]
+    keep_s = _sat_codes(part, params, want, keep_cent_p)
+    out, n_gal = {}, {}
+    for code, tracer in enumerate(TRACER_ORDER, 1):
+        if tracer not in want:
+            continue
+        p = params[tracer]
+        vcx = halo['vx'] + p['alpha_c'] * halo['vdevx']
+        vcy = halo['vy'] + p['alpha_c'] * halo['vdevy']
+        vcz = halo['vz'] + p['alpha_c'] * halo['vdevz']
+        xc, yc, zc = _apply_rsd(
+            halo['x'], halo['y'], halo['z'], vcx, vcy, vcz,
+            rsd, inv_velz2kms, None, origin,
+        )
+        wc = (keep_c == code).astype(jnp.float32)
+        vsx = part['hvelx'] + p['alpha_s'] * (part['vx'] - part['hvelx'])
+        vsy = part['hvely'] + p['alpha_s'] * (part['vy'] - part['hvely'])
+        vsz = part['hvelz'] + p['alpha_s'] * (part['vz'] - part['hvelz'])
+        xs, ys, zs = _apply_rsd(
+            part['x'], part['y'], part['z'], vsx, vsy, vsz,
+            rsd, inv_velz2kms, None, origin,
+        )
+        ws = (keep_s == code).astype(jnp.float32)
+        out[tracer] = (xc, yc, zc, wc, xs, ys, zs, ws)
+        n_gal[tracer] = wc.sum() + ws.sum()
+    return out, n_gal
+
+
+@partial(
+    jax.jit,
+    static_argnames=('want', 'nmesh', 'B', 'nbins_k', 'Ks', 'chunks'),
+)
+def pk_grouped_multi(
+    groups, n_gal, binplan, Wcomp, lbox, nmesh, B, nbins_k, Ks, chunks, want,
+):
+    """Auto+cross P(k) monopoles from per-tracer PRE-STAGED grouped galaxy
+    deposits: groups[tracer] = (xg, yg, zg, wg) flat (ncell*K,) arrays in
+    the (x-cell, y-block of B) layout (stage_grouped2d with shift=0 — the
+    coordinates are painted as-is, matching compute_power's raw-coordinate
+    get_field paint; a global translation cancels in auto AND cross
+    spectra). Ks/chunks: per-tracer static capacities aligned with `want`.
+    The light-cone leg of the fused pipeline (galaxies staged after LOS
+    displacement); returns ({(t1, t2): wsum}, same n_gal dict)."""
+    from ..ops.grid import fold_ypad, paint_grouped_yb_multi
+
+    ncell = nmesh * (nmesh // B)
+    (seg,) = binplan
+    deltas = {}
+    for t_i, tracer in enumerate(want):
+        xg, yg, zg, wg = groups[tracer]
+        K = Ks[t_i]
+        gridp = jnp.zeros((nmesh, nmesh + 2, nmesh), jnp.float32)
+        gridp = paint_grouped_yb_multi(
+            gridp,
+            [
+                (
+                    xg.reshape(ncell, K), yg.reshape(ncell, K),
+                    zg.reshape(ncell, K), wg.reshape(ncell, K),
+                    K, chunks[t_i],
+                ),
+            ],
+            lbox, 0.0, nmesh, B,
+        )
+        grid = fold_ypad(gridp, nmesh)
+        delta = grid * (grid.size / n_gal[tracer]) - 1.0
+        delta_k = jnp.fft.rfftn(delta) * jnp.float32(1.0 / grid.size)
+        if Wcomp is not None:
+            delta_k = delta_k / (
+                Wcomp[:, None, None]
+                * Wcomp[None, :, None]
+                * Wcomp[None, None, : nmesh // 2 + 1]
+            )
+        deltas[tracer] = delta_k
+
+    spectra = {}
+    for i, t1 in enumerate(want):
+        for t2 in want[i:]:
+            p3d = (deltas[t1] * jnp.conj(deltas[t2])).real
+            spectra[(t1, t2)] = _segsum_matmul(
+                p3d.reshape(-1), seg, nbins_k, nmesh // 2 + 1,
+                even=(nmesh % 2 == 0),
+            )
+    return spectra, n_gal
+
+
 def make_example_inputs_device(n_halo, n_part, lbox, seed=0, link=False):
     """Device-side twin of :func:`make_example_inputs`: the same synthetic
     catalog distributions drawn with jax.random directly in HBM. For
