@@ -166,23 +166,35 @@ def _pad_tiles(pos, tile=_TILE):
 # ~2.6x the ideal sum_c n_c * nbh_c instead of the ~15x a global-max padding
 # costs. Each (row-class, neighbor-class) combo runs one jitted kernel:
 # wide row gathers (x|y|z packed per row so one gather fetches a whole cell),
-# compare-sum bin indices (out-of-range and sentinel pairs fall outside the
-# one-hot columns, so no masks), and the factorized MXU histogram.
+# item-constant min-image wraps (staged per (cell, offset) item; one
+# broadcast subtract replaces the per-pair div+round), and cumulative
+# one-hot bin indicators contracted on the MXU (the edge compares ARE the
+# histogram operands; out-of-range and sentinel pairs cancel in the
+# differences, so no masks). All bit-identical to a direct f32
+# subtract/round/compare-sum evaluation — the brute-force equality tests
+# pin that.
 # ---------------------------------------------------------------------------
 
 
-def _hist2d_factored(b1v, b2v, nb1, nb2):
-    """Exact 2D histogram of (b1, b2) bin pairs via two small one-hots
-    contracted on the MXU: nb1 + nb2 VPU compares per pair instead of the
-    nb1*nb2 a flat compare-reduce needs. The one-hots are 0/1 in bf16 (exactly
-    representable); the MXU accumulates in f32, so block sums are exact
-    integers as long as a block holds < 2^24 pairs (blocks are capped far
-    below that). Pairs whose b1 or b2 falls outside [0, nb) simply match no
-    one-hot column and contribute nothing."""
-    cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, nb1), 1)
-    cols2 = jax.lax.broadcasted_iota(jnp.int32, (1, nb2), 1)
-    oh1 = (b1v.reshape(-1, 1) == cols1).astype(jnp.bfloat16)
-    oh2 = (b2v.reshape(-1, 1) == cols2).astype(jnp.bfloat16)
+def _hist2d_cum(v1, v2, thr1, thr2):
+    """Exact 2D histogram via CUMULATIVE one-hots contracted on the MXU.
+
+    Column k of C1 is the indicator (v1 >= thr1[k]) — the same compares a
+    bin search needs, used directly as the matmul operand instead of being
+    summed into an integer bin and re-expanded into an equality one-hot.
+    The caller recovers the per-bin histogram as the double difference of
+    the contracted (n1+1, n2+1) cumulative matrix: by linearity,
+    (cum_k - cum_{k+1}) * (cum_m - cum_{m+1}) == [bin1 = k][bin2 = m] pair
+    for pair, so the integer counts are bit-identical to the equality
+    one-hot product while the VPU does ~1/3 of the compares.
+
+    The indicators are 0/1 in bf16 (exactly representable); the MXU
+    accumulates in f32, so block sums are exact integers as long as a block
+    holds < 2^24 pairs (blocks are capped far below that). Out-of-range v1
+    (including inf from sentinel rows) makes every column equal, so the
+    differences vanish; NaN compares false everywhere and vanishes too."""
+    oh1 = (v1.reshape(-1, 1) >= thr1[None, :]).astype(jnp.bfloat16)
+    oh2 = (v2.reshape(-1, 1) >= thr2[None, :]).astype(jnp.bfloat16)
     blk = jax.lax.dot_general(
         oh1, oh2, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -268,12 +280,30 @@ def _stage_items(tblA, tblB, nc, autocorr=False):
     Autocorrelations exploit pair-exchange symmetry (rp/s and |dz| are both
     symmetric): only the center offset plus the 13 lexicographically
     positive ones are enumerated, and the combo key's low bit marks
-    center-vs-mirrored so the caller can double the mirrored counts."""
+    center-vs-mirrored so the caller can double the mirrored counts.
+
+    Each item also carries a packed per-axis minimum-image wrap code
+    ((wx+1)*9 + (wy+1)*3 + (wz+1), w in {-1, 0, +1}): for nc >= 5 the
+    min-image correction round((a-b)/lbox) is the SAME for every pair of
+    an item (|a-b - w*lbox| <= 2*lbox/nc < lbox/2 for adjacent cells), so
+    the count kernel can replace the per-pair div+round+mul with one
+    broadcast subtract of w*lbox — identical arithmetic, identical bits."""
     C = nc * nc * nc
     b3 = tblB.reshape(nc, nc, nc)
     offs = _OFFSETS[13:] if autocorr else _OFFSETS
     bs = jnp.stack(
         [jnp.roll(b3, (-di, -dj, -dk), (0, 1, 2)).reshape(C)
+         for (di, dj, dk) in offs]
+    )
+    ax3 = [jax.lax.broadcasted_iota(jnp.int32, (nc, nc, nc), d) for d in range(3)]
+
+    def wrap1(i, d):
+        # neighbor cell index i+d wraps past an edge -> min image adds -+lbox
+        return jnp.where(i + d < 0, -1, jnp.where(i + d >= nc, 1, 0))
+
+    ws = jnp.stack(
+        [((wrap1(ax3[0], di) + 1) * 9 + (wrap1(ax3[1], dj) + 1) * 3
+          + (wrap1(ax3[2], dk) + 1)).reshape(C)
          for (di, dj, dk) in offs]
     )
     noff = len(offs)
@@ -282,22 +312,37 @@ def _stage_items(tblA, tblB, nc, autocorr=False):
     if autocorr:
         mirrored = (jnp.arange(noff) != 0).astype(jnp.int32)[:, None]
         combo = combo * 2 + mirrored
-    _, ia, ib = jax.lax.sort(
+    _, ia, ib, iw = jax.lax.sort(
         (combo.reshape(-1), (a & 0xFFFFFF).reshape(-1),
-         (bs & 0xFFFFFF).reshape(-1)),
+         (bs & 0xFFFFFF).reshape(-1), ws.reshape(-1)),
         num_keys=1,
     )
-    return ia, ib
+    return ia, ib, iw
 
 
-@partial(jax.jit, static_argnames=('mode', 'nb1', 'nb2', 'capA', 'capB', 'Pc'))
-def _combo_counts(A, B, ia, ib, edges2, aux, lbox, mode, nb1, nb2,
-                  capA, capB, Pc):
+@partial(jax.jit, static_argnames=('mode', 'nb1', 'nb2', 'capA', 'capB', 'Pc',
+                                   'use_wrap'))
+def _combo_counts(A, B, ia, ib, iw, edges2, aux, lbox, mode, nb1, nb2,
+                  capA, capB, Pc, use_wrap):
     """Pair counts for one (row-class, neighbor-class) combo. A/B are
     (Cpad, 3*cap) packed x|y|z layouts (inf in pad slots), ia/ib the item
-    row lists. Sentinel pairs produce inf/NaN r2, land outside [0, nb1) in
-    the compare-sum bin index, and are dropped by the one-hot histogram."""
+    row lists, iw the packed per-item min-image wrap codes (used when
+    nc >= 5; smaller grids fall back to the per-pair round). Sentinel pairs
+    produce inf/NaN r2 and vanish in the cumulative histogram differences.
+
+    Binning is cumulative (see _hist2d_cum): axis-1 thresholds are the
+    nb1+1 squared edges; axis-2 thresholds are the integer pi bins 0..nb2
+    (rppi; floor(dz) == m iff dz >= m and not dz >= m+1) or the mu-bin
+    indices 0..nb2-1 with a +inf top column (smu; reproduces the
+    min(int(mu*nmu), nb2-1) clamp, since mu*nmu never compares >= inf)."""
     nblk = ia.shape[0] // Pc
+    if mode == 'rppi':
+        thr2 = jnp.arange(nb2 + 1, dtype=jnp.float32)
+    else:
+        thr2 = jnp.concatenate(
+            [jnp.arange(nb2, dtype=jnp.float32),
+             jnp.full((1,), jnp.inf, jnp.float32)]
+        )
 
     def blk(counts, t):
         ja = jax.lax.dynamic_slice(ia, (t,), (Pc,))
@@ -306,27 +351,39 @@ def _combo_counts(A, B, ia, ib, edges2, aux, lbox, mode, nb1, nb2,
         rb = _rows(B, jb)
         ax, ay, az = ra[:, :capA], ra[:, capA:2 * capA], ra[:, 2 * capA:3 * capA]
         bx, by, bz = rb[:, :capB], rb[:, capB:2 * capB], rb[:, 2 * capB:3 * capB]
-        dx = _min_image(ax[:, :, None] - bx[:, None, :], lbox)
-        dy = _min_image(ay[:, :, None] - by[:, None, :], lbox)
-        dz = jnp.abs(_min_image(az[:, :, None] - bz[:, None, :], lbox))
+        ux = ax[:, :, None] - bx[:, None, :]
+        uy = ay[:, :, None] - by[:, None, :]
+        uz = az[:, :, None] - bz[:, None, :]
+        if use_wrap:
+            # item-constant min image: subtract the staged w*lbox (exact
+            # float, w in {-1,0,+1}) — the same value lbox*round(d/lbox)
+            # yields for every pair of this item, so identical bits
+            jw = jax.lax.dynamic_slice(iw, (t,), (Pc,))
+            wx = (jw // 9 - 1).astype(jnp.float32) * lbox
+            wy = (jw // 3 % 3 - 1).astype(jnp.float32) * lbox
+            wz = (jw % 3 - 1).astype(jnp.float32) * lbox
+            dx = ux - wx[:, None, None]
+            dy = uy - wy[:, None, None]
+            dz = jnp.abs(uz - wz[:, None, None])
+        else:
+            dx = _min_image(ux, lbox)
+            dy = _min_image(uy, lbox)
+            dz = jnp.abs(_min_image(uz, lbox))
         if mode == 'rppi':
             r2 = dx * dx + dy * dy
-            b2 = dz.astype(jnp.int32)  # floor; >= pimax matches no column
+            q = dz
         else:
             r2 = dx * dx + dy * dy + dz * dz
             s = jnp.sqrt(r2)
-            mu = jnp.where(s > 0, dz / s, 0.0)
-            b2 = jnp.minimum((mu * aux).astype(jnp.int32), nb2 - 1)
-        b1 = sum(
-            (r2 >= edges2[k]).astype(jnp.int32) for k in range(nb1 + 1)
-        ) - 1
-        return counts + _hist2d_factored(b1, b2, nb1, nb2), None
+            q = jnp.where(s > 0, dz / s, 0.0) * aux
+        return counts + _hist2d_cum(r2, q, edges2[:nb1 + 1], thr2), None
 
-    counts = jnp.zeros((nb1, nb2), jnp.int32)
+    counts = jnp.zeros((nb1 + 1, nb2 + 1), jnp.int32)
     counts, _ = jax.lax.scan(
         blk, counts, jnp.arange(nblk, dtype=jnp.int32) * Pc
     )
-    return counts
+    h = counts[:-1, :] - counts[1:, :]
+    return h[:, :-1] - h[:, 1:]
 
 
 def _pow2ceil(n):
@@ -497,11 +554,13 @@ def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
     # memoize on them (cached stages make repeat calls skip this too)
     items = getattr(sideA, '_items_cache', None)
     if items is not None and items[0] is sideB and items[1] == autocorr:
-        _, _, ia, ib, sizes = items
+        _, _, ia, ib, iw, sizes = items
     else:
-        ia, ib = _stage_items(sideA.tbl, sideB.tbl, nc, autocorr=autocorr)
+        ia, ib, iw = _stage_items(sideA.tbl, sideB.tbl, nc, autocorr=autocorr)
         sizes = _combo_sizes(sideA, sideB, nc, autocorr=autocorr)
-        sideA._items_cache = (sideB, autocorr, ia, ib, sizes)
+        sideA._items_cache = (sideB, autocorr, ia, ib, iw, sizes)
+    # the item-constant min image needs 2*lbox/nc < lbox/2 strictly
+    use_wrap = nc >= 5
 
     edges2_j = jnp.asarray(np.asarray(edges2, np.float64))
     acc = None  # accumulate on device; host syncs only on int32-overflow risk
@@ -536,6 +595,7 @@ def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
                      constant_values=sideA.cpads[a] - 1)
         jb = jnp.pad(ib[off:off + P], (0, Ppad - P),
                      constant_values=sideB.cpads[b] - 1)
+        jw = jnp.pad(iw[off:off + P], (0, Ppad - P), constant_values=13)
         # segment the item list so no device-side int32 accumulator — per
         # block, per combo, or across combos — can ever see >= 2^31 pairs
         pairs_per_blk = mult * Pc * capA * capB
@@ -553,8 +613,9 @@ def _cell_pair_counts(pos1, pos2, lbox, rmax, edges2, aux, mode, nb1, nb2,
             counts = _combo_counts(
                 sideA.layouts[a], sideB.layouts[b],
                 ja[s0 * Pc:(s0 + nb) * Pc], jb[s0 * Pc:(s0 + nb) * Pc],
+                jw[s0 * Pc:(s0 + nb) * Pc],
                 edges2_j, jnp.float32(aux), jnp.float32(lbox),
-                mode, nb1, nb2, capA, capB, Pc,
+                mode, nb1, nb2, capA, capB, Pc, use_wrap,
             )
             counts = counts * mult if mult != 1 else counts
             acc = counts if acc is None else acc + counts
