@@ -289,3 +289,27 @@ def test_three_point_list_is_aos():
     soa_list = [arr[:, i].copy() for i in range(3)]
     npt.assert_array_equal(pair_counts_smu(soa_tuple, sbins, 1, LBOX), via_arr)
     npt.assert_array_equal(pair_counts_smu(soa_list, sbins, 1, LBOX), via_arr)
+
+
+def test_corrfunc_golden():
+    """Bin-for-bin equality against raw Corrfunc counts (external pin).
+
+    The fixture is produced OFF-BOX by tests/generate_corrfunc_golden.py
+    (Corrfunc is not installable here) on an edge-clean point set — no
+    in-range pair sits within 10x float32 rounding of any bin edge — so
+    exact equality is the correct assertion: any mismatch is a genuine
+    convention break (pair doubling, edge inclusivity, pi/mu binning),
+    not rounding.  Skips until the npz is checked in.
+    """
+    import pathlib
+
+    fix = pathlib.Path(__file__).parent / 'data_clustering' / 'corrfunc_golden.npz'
+    if not fix.exists():
+        pytest.skip('corrfunc_golden.npz not generated yet (needs Corrfunc)')
+    d = np.load(fix)
+    pos = d['pos']
+    lbox = float(d['lbox'])
+    got_rppi = pair_counts_rppi(pos, d['rpbins'], int(d['pimax']), lbox)
+    npt.assert_array_equal(got_rppi, d['rppi_npairs'])
+    got_smu = pair_counts_smu(pos, d['sbins'], int(d['nmu']), lbox)
+    npt.assert_array_equal(got_smu, d['smu_npairs'])
