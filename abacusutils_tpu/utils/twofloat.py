@@ -115,7 +115,8 @@ def split2_f64(k64):
     import numpy as np
 
     k64 = np.asarray(k64, np.float64)
-    hi = k64.astype(np.float32)
+    with np.errstate(over='ignore'):  # beyond-f32 values collapse by design
+        hi = k64.astype(np.float32)
     fin = np.isfinite(hi)
     r = np.where(fin, k64 - hi.astype(np.float64), 0.0)
     return hi, r.astype(np.float32)
@@ -129,7 +130,8 @@ def split3_f64(k64):
     import numpy as np
 
     k64 = np.asarray(k64, np.float64)
-    hi = k64.astype(np.float32)
+    with np.errstate(over='ignore'):  # beyond-f32 values collapse by design
+        hi = k64.astype(np.float32)
     fin = np.isfinite(hi)
     r = np.where(fin, k64 - hi.astype(np.float64), 0.0)
     lo = r.astype(np.float32)

@@ -313,3 +313,19 @@ def test_corrfunc_golden():
     npt.assert_array_equal(got_rppi, d['rppi_npairs'])
     got_smu = pair_counts_smu(pos, d['sbins'], int(d['nmu']), lbox)
     npt.assert_array_equal(got_smu, d['smu_npairs'])
+
+
+def test_corrfunc_golden_generator_edge_clean(monkeypatch):
+    """The off-box generator's edge-clean machinery (f64 audit + nudge
+    loop) must converge and be deterministic at reduced N — guards the
+    script against bit-rot while Corrfunc itself stays off-box."""
+    import generate_corrfunc_golden as g
+
+    monkeypatch.setattr(g, 'NPTS', 1500)
+    pos = g.make_edge_clean_points()
+    assert pos.dtype == np.float32 and pos.shape == (1500, 3)
+    assert not g.find_edge_offenders(pos)
+    npt.assert_array_equal(pos, g.make_edge_clean_points())
+    # and the engine runs clean on it with the fixture's bins
+    c = pair_counts_rppi(pos, g.RPBINS, g.PIMAX, g.LBOX)
+    assert c.sum() > 0
