@@ -215,9 +215,14 @@ def _rows(A, idx):
 
 
 @partial(jax.jit, static_argnames=('nc',))
+@partial(jax.jit, static_argnames=('nc',))
 def _stage_cells(x, y, z, lbox, nc):
     """Sort (inf-padded) points by cell id; return the sorted coords plus
-    the per-cell run starts and occupancies (all device-resident)."""
+    the per-cell run starts and occupancies (all device-resident).
+
+    Jitted as ONE program: eager, each op is a separate dispatch and the
+    cold stage pays ~10 tunnel round trips (the same measured trap as
+    ops.grid._stage_sort_by_cell — CLAUDE.md "Staging")."""
     C = nc * nc * nc
     inv = jnp.float32(nc) / lbox
     fin = jnp.isfinite(x)
@@ -390,6 +395,24 @@ def _pow2ceil(n):
     return 1 << max(0, int(n) - 1).bit_length()
 
 
+@partial(jax.jit, static_argnames=('npad',))
+def _prep_cols(cols, lbox, npad):
+    """Wrap into [0, lbox) and inf-pad to the pow2 length — one dispatch
+    for all three columns instead of six eager ones. `cols` is a tuple of
+    three 1D columns or one (N, 3) array (columns split in-program)."""
+    if isinstance(cols, tuple):
+        x, y, z = cols
+    else:
+        x, y, z = cols[:, 0], cols[:, 1], cols[:, 2]
+    return tuple(
+        jnp.pad(
+            jnp.mod(c, lbox).astype(jnp.float32),
+            (0, npad - c.shape[0]), constant_values=jnp.inf,
+        )
+        for c in (x, y, z)
+    )
+
+
 class _SideStage:
     """One tracer's device staging: cell sort, occupancy classes, padded
     class layouts, and the packed class/row table."""
@@ -402,23 +425,12 @@ class _SideStage:
         if _is_soa(pos) and isinstance(pos[0], jax.Array):
             # 1D SoA device columns: no host round trip and no (N, 128)
             # lane-padding blowup while cached
-            coords = [
-                jnp.pad(
-                    jnp.mod(col, lbox).astype(jnp.float32),
-                    (0, npad - n), constant_values=jnp.inf,
-                )
-                for col in pos
-            ]
+            coords = _prep_cols(tuple(pos), jnp.float32(lbox), npad)
         elif isinstance(pos, jax.Array):
             # device-resident (N, 3) input: no host round trip (callers
-            # staging positions once skip the dominant transfer cost)
-            coords = [
-                jnp.pad(
-                    jnp.mod(pos[:, axis], lbox).astype(jnp.float32),
-                    (0, npad - n), constant_values=jnp.inf,
-                )
-                for axis in range(3)
-            ]
+            # staging positions once skip the dominant transfer cost);
+            # the column split happens inside the jitted prep
+            coords = _prep_cols(pos, jnp.float32(lbox), npad)
         else:
             p = np.mod(_to_aos(pos).astype(np.float64), lbox)
             coords = []
