@@ -877,6 +877,22 @@ def calc_shearmark(simdir, simname, z_mock, N_dim, R, fn, partdown=100):
     return shearmark
 
 
+def _pool_worker_init():
+    """Pin Nparallel_load pool workers to CPU jax. N parallel slab loaders
+    must not serialize on — or, over a remote-compile tunnel, hang
+    against — one accelerator; the exact32 device engines are bit-exact on
+    CPU by construction, so slab output does not depend on the backend.
+    (Env vars cannot do this: the axon site hook pins JAX_PLATFORMS at
+    interpreter start, so the config.update below is the only lever that
+    works in a spawn child.)"""
+    import jax
+
+    try:
+        jax.config.update('jax_platforms', 'cpu')
+    except Exception:
+        pass  # backend already initialized: keep whatever the host chose
+
+
 def main(
     path2config,
     params=None,
@@ -981,6 +997,7 @@ def main(
         with concurrent.futures.ProcessPoolExecutor(
             max_workers=nparallel,
             mp_context=multiprocessing.get_context('spawn'),
+            initializer=_pool_worker_init,
         ) as pool:
             futures = [pool.submit(prepare_slab, i, **kwargs) for i in range(numslabs)]
             for future in concurrent.futures.as_completed(futures):
